@@ -1,0 +1,293 @@
+"""The fused LiDAR-camera association step -- L3 of the framework.
+
+One jitted function replaces the reference's entire per-frame hot path
+(``process_frame``, V1_BBox_Pointwise_filtering.py:295-430, and
+``process_frames``, cvs_erosion.py:298-379):
+
+  1. project ~120k Velodyne points into the rectified camera (MXU matmul),
+  2. FOV/depth validity mask (V1:357),
+  3. GT-box visibility pre-filter (V1:96-115) + cam0 -> velo corner transform
+     (V1:41-52),
+  4. optional mask erosion on the packed bit-planes (cvs_erosion.py:98-106),
+  5. per-point mask membership for all <= 32 detections at once (single
+     uint32 gather; replaces the per-mask resize+gather loop V1:186-208),
+  6. inside-counts for every (detection, box) pair as ONE (D,P) @ (P,G)
+     matmul (replaces the cars x boxes x points loop V1:211-265 /
+     cvs_erosion.py:165-229),
+  7. best-box selection with the reference's strictly-greater/first-wins and
+     ``min_points`` semantics.
+
+Counts are accumulated in float32 (0/1 operands; exact up to 2^24 -- far
+above the 131k point budget), so integer parity with the NumPy reference
+holds bit-for-bit.
+
+Also here: the V4 greedy-IoU matcher (V4_BBox_IoU_filtering.py:140-183) and
+the V5 Hungarian matcher (V5_ProjectingBBoxes.py:277-416) on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lidar_object_detection_tpu.config import FusionConfig
+from lidar_object_detection_tpu.geom import boxes as boxes_lib
+from lidar_object_detection_tpu.geom import projection as proj_lib
+from lidar_object_detection_tpu.ops import erosion as erosion_lib
+from lidar_object_detection_tpu.ops import masks as masks_lib
+from lidar_object_detection_tpu.ops.hungarian import hungarian
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionParams:
+    """Static (hashable) parameters of the jitted fusion step."""
+
+    width: int
+    height: int
+    num_detections: int
+    depth_min: float = 0.0
+    depth_max: float = 50.0
+    min_points: int = 10
+    bbox_filter: bool = True
+    bbox_min_visible_corners: int = 2
+    bbox_corner_depth_min: float = 0.1
+    erosion_enabled: bool = False
+    erosion_kernel_size: int = 3
+    erosion_iterations: int = 1
+    # Point-chunk size for the inside-count reduction.  The (P, G, 3axes)
+    # inside-test intermediate is never materialized whole -- at 131072
+    # points x 384 boxes it would be ~10 GB -- instead a lax.scan walks
+    # point chunks and accumulates the (D, G) counts, keeping the live
+    # intermediate at chunk x 3G floats (~75 MB at the default).
+    count_chunk: int = 16384
+
+    @staticmethod
+    def from_config(cfg: FusionConfig) -> "FusionParams":
+        return FusionParams(
+            width=cfg.shapes.image_width,
+            height=cfg.shapes.image_height,
+            num_detections=cfg.shapes.max_detections,
+            depth_min=cfg.depth_min,
+            depth_max=cfg.depth_max,
+            min_points=cfg.min_points,
+            bbox_filter=cfg.bbox_filter_enabled,
+            bbox_min_visible_corners=cfg.bbox_min_visible_corners,
+            bbox_corner_depth_min=cfg.bbox_corner_depth_min,
+            erosion_enabled=cfg.erosion_enabled,
+            erosion_kernel_size=cfg.erosion_kernel_size,
+            erosion_iterations=cfg.erosion_iterations,
+        )
+
+
+def _chunked_inside_counts(points, car_mask_f, corners_velo, vis,
+                           chunk: int):
+    """Accumulate (D, G) inside counts over point chunks.
+
+    Each chunk does one (chunk, 3) @ (3, 3G) projection matmul, the fused
+    [0, 1]-interval compare, and one (D, chunk) @ (chunk, G) count matmul --
+    both on the MXU -- without ever holding the full (P, G) inside matrix.
+    Counts are exact: 0/1 operands, f32 accumulation, < 2^24 points.
+    """
+    p_total = points.shape[0]
+    chunk = min(chunk, p_total)
+    num_chunks = p_total // chunk
+    tail = p_total - num_chunks * chunk
+
+    def body(acc, idx):
+        pts = jax.lax.dynamic_slice_in_dim(points, idx * chunk, chunk)
+        car = jax.lax.dynamic_slice_in_dim(car_mask_f, idx * chunk, chunk,
+                                           axis=1)
+        inside = boxes_lib.points_in_oriented_boxes(pts, corners_velo,
+                                                    box_mask=vis)
+        return acc + car @ inside.astype(jnp.float32), None
+
+    init = jnp.zeros((car_mask_f.shape[0], corners_velo.shape[0]),
+                     jnp.float32)
+    counts, _ = jax.lax.scan(body, init,
+                             jnp.arange(num_chunks, dtype=jnp.int32))
+    if tail:
+        inside = boxes_lib.points_in_oriented_boxes(
+            points[num_chunks * chunk:], corners_velo, box_mask=vis)
+        counts = counts + (car_mask_f[:, num_chunks * chunk:]
+                           @ inside.astype(jnp.float32))
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def fuse_frame(points, point_valid, mask_bits, det_valid,
+               corners_cam0, box_valid,
+               velo_to_rect, cam_to_velo, intrinsics,
+               params: FusionParams):
+    """Fuse one frame.
+
+    Args:
+      points: (P, 4) padded velodyne scan.
+      point_valid: (P,) bool padding mask.
+      mask_bits: (H, W) uint32 packed instance masks (bit d = detection d).
+      det_valid: (D,) bool detection mask.
+      corners_cam0: (G, 8, 3) GT box corners in cam0 frame.
+      box_valid: (G,) bool box padding mask.
+      velo_to_rect / cam_to_velo: (4, 4) calibration.
+      intrinsics: (3, 3).
+      params: static FusionParams.
+
+    Returns a dict of per-frame device arrays (see code).
+    """
+    p = params
+    dtype = points.dtype
+
+    # 1-2. project + validity
+    u, v, depth = proj_lib.project_velo_points(
+        points, velo_to_rect.astype(dtype), intrinsics.astype(dtype))
+    valid = proj_lib.point_validity(
+        u, v, depth, p.width, p.height, p.depth_min, p.depth_max, point_valid)
+
+    # 3. GT-box visibility + velo-frame corners
+    if p.bbox_filter:
+        vis = boxes_lib.corners_visibility(
+            corners_cam0, intrinsics.astype(dtype), p.width, p.height,
+            min_corners=p.bbox_min_visible_corners,
+            depth_min=p.bbox_corner_depth_min, box_mask=box_valid)
+    else:
+        vis = box_valid
+    corners_velo = boxes_lib.transform_corners(
+        corners_cam0, cam_to_velo.astype(dtype))
+
+    # 4. erosion on the packed bit-planes
+    if p.erosion_enabled:
+        mask_bits = erosion_lib.erode_packed(
+            mask_bits, p.erosion_kernel_size, p.erosion_iterations)
+
+    # 5. per-point membership, all detections at once
+    car_mask = masks_lib.gather_mask_bits(
+        mask_bits, u, v, valid, p.num_detections)          # (D, P)
+    car_mask = car_mask & det_valid[:, None]
+
+    # 6. inside test + counts as chunked matmuls (memory-bounded)
+    car_f = car_mask.astype(jnp.float32)
+    counts = _chunked_inside_counts(
+        points[:, :3], car_f, corners_velo, vis, p.count_chunk)  # (D, G)
+    total = jnp.sum(car_f, axis=1)                          # (D,)
+
+    # 7. best box: argmax == first strictly-greater winner (V2:348-351);
+    #    a car only matches when max >= min_points (V1:401 gate).
+    counts_i = counts.astype(jnp.int32)
+    total_i = total.astype(jnp.int32)
+    best_count = jnp.max(counts_i, axis=1)
+    best_idx = jnp.argmax(counts_i, axis=1).astype(jnp.int32)
+    matched = (best_count >= p.min_points) & (best_count > 0) & det_valid
+    best_box = jnp.where(matched, best_idx, -1)
+    inside_ct = jnp.where(matched, best_count, 0)
+
+    return {
+        "u": u, "v": v, "depth": depth, "point_valid": valid,
+        "box_visible": vis, "corners_velo": corners_velo,
+        "car_mask": car_mask, "counts": counts_i,
+        "total_points": total_i, "best_box": best_box,
+        "points_inside": inside_ct, "matched": matched,
+        "eroded_mask_bits": mask_bits,
+    }
+
+
+def fuse_batch(batch_points, batch_point_valid, batch_mask_bits,
+               batch_det_valid, batch_corners, batch_box_valid,
+               velo_to_rect, cam_to_velo, intrinsics, params: FusionParams):
+    """vmap of :func:`fuse_frame` over the frame axis (calibration shared)."""
+    fn = functools.partial(
+        fuse_frame, velo_to_rect=velo_to_rect, cam_to_velo=cam_to_velo,
+        intrinsics=intrinsics, params=params)
+    return jax.vmap(fn)(batch_points, batch_point_valid, batch_mask_bits,
+                        batch_det_valid, batch_corners, batch_box_valid)
+
+
+# ---------------------------------------------------------------------------
+# V4: greedy 2D-IoU matching (V4_BBox_IoU_filtering.py:140-183)
+# ---------------------------------------------------------------------------
+
+def greedy_iou_match(det_boxes, det_valid, corners_cam0, box_valid,
+                     intrinsics, min_iou: float = 0.25):
+    """For each detection, the best GT box by projected 2D IoU.
+
+    Parity notes: the reference projects GT corners with ``depth > 0``
+    filtering and takes min/max of the *rounded* pixel coords (V4:157-168);
+    ties keep the first (lowest-index) box because the update is strictly
+    greater (V4:173).
+
+    Returns (match_idx, match_iou): (D,) int32 box index (-1 when unmatched)
+    and the winning IoU.
+    """
+    info = boxes_lib.project_boxes_to_2d(corners_cam0, intrinsics)
+    gt_ok = info["valid"] & box_valid
+    iou = boxes_lib.iou_2d_matrix(det_boxes, info["bbox"])   # (D, G)
+    iou = jnp.where(gt_ok[None, :], iou, 0.0)
+    best_iou = jnp.max(iou, axis=1)
+    best_idx = jnp.argmax(iou, axis=1).astype(jnp.int32)
+    ok = (best_iou > min_iou) & det_valid
+    return jnp.where(ok, best_idx, -1), best_iou
+
+
+# ---------------------------------------------------------------------------
+# V5: weighted-score Hungarian matching (V5_ProjectingBBoxes.py:277-416)
+# ---------------------------------------------------------------------------
+
+def matching_scores(det_boxes, corners_cam0, intrinsics,
+                    weight_iou=0.5, weight_center=0.3, weight_size=0.2,
+                    center_norm=1000.0):
+    """The V5 pairwise score matrix: .5*IoU + .3*center + .2*size (V5:277-304).
+
+    Returns (score, iou): both (D, G).
+    """
+    info = boxes_lib.project_boxes_to_2d(corners_cam0, intrinsics)
+    iou = boxes_lib.iou_2d_matrix(det_boxes, info["bbox"])
+
+    det_center = jnp.stack([(det_boxes[:, 0] + det_boxes[:, 2]) / 2,
+                            (det_boxes[:, 1] + det_boxes[:, 3]) / 2], axis=-1)
+    dist = jnp.linalg.norm(det_center[:, None, :] - info["center"][None, :, :],
+                           axis=-1)
+    center_score = jnp.maximum(0.0, 1.0 - dist / center_norm)
+
+    det_area = ((det_boxes[:, 2] - det_boxes[:, 0])
+                * (det_boxes[:, 3] - det_boxes[:, 1]))[:, None]
+    gt_area = info["area"][None, :]
+    both_pos = (det_area > 0) & (gt_area > 0)
+    size_score = jnp.where(
+        both_pos,
+        jnp.minimum(det_area, gt_area) / jnp.maximum(det_area, gt_area),
+        0.0)
+
+    score = weight_iou * iou + weight_center * center_score + weight_size * size_score
+    return score, iou, info["valid"]
+
+
+def hungarian_match(det_boxes, det_valid, corners_cam0, box_valid, intrinsics,
+                    min_score: float = 0.3, min_iou: float = 0.15,
+                    weight_iou=0.5, weight_center=0.3, weight_size=0.2,
+                    center_norm=1000.0):
+    """V5's Hungarian assignment with score/IoU threshold gates (V5:360-368).
+
+    Returns (match_idx, score, iou): per-detection assigned GT index (-1 when
+    rejected by the gates), with the pair's score and IoU.
+    """
+    d, g = det_boxes.shape[0], corners_cam0.shape[0]
+    n = max(d, g)
+    score, iou, proj_valid = matching_scores(
+        det_boxes, corners_cam0, intrinsics, weight_iou, weight_center,
+        weight_size, center_norm)
+    gt_ok = proj_valid & box_valid
+
+    cost = jnp.zeros((n, n), jnp.float32)
+    cost = cost.at[:d, :g].set(1.0 - score.astype(jnp.float32))
+    row_mask = jnp.zeros((n,), bool).at[:d].set(det_valid)
+    col_mask = jnp.zeros((n,), bool).at[:g].set(gt_ok)
+    col4row = hungarian(cost, row_mask=row_mask, col_mask=col_mask)[:d]
+
+    in_range = (col4row >= 0) & (col4row < g)
+    safe = jnp.clip(col4row, 0, g - 1)
+    pair_score = jnp.where(in_range, score[jnp.arange(d), safe], 0.0)
+    pair_iou = jnp.where(in_range, iou[jnp.arange(d), safe], 0.0)
+    ok = (det_valid & in_range & gt_ok[safe]
+          & (pair_score >= min_score) & (pair_iou >= min_iou))
+    return jnp.where(ok, safe, -1), pair_score, pair_iou

@@ -1,0 +1,25 @@
+from lidar_object_detection_tpu.ops.masks import (
+    pack_masks,
+    unpack_masks,
+    gather_mask_bits,
+)
+from lidar_object_detection_tpu.ops.erosion import (
+    ellipse_kernel_offsets,
+    erode_packed,
+    erode_masks,
+)
+from lidar_object_detection_tpu.ops.hungarian import hungarian
+from lidar_object_detection_tpu.ops.nms import nms
+from lidar_object_detection_tpu.ops.scatter import scatter_depth_maps
+
+__all__ = [
+    "pack_masks",
+    "unpack_masks",
+    "gather_mask_bits",
+    "ellipse_kernel_offsets",
+    "erode_packed",
+    "erode_masks",
+    "hungarian",
+    "nms",
+    "scatter_depth_maps",
+]
