@@ -1,0 +1,103 @@
+"""End-to-end benchmark: KITTI-360 frames/sec/chip.
+
+Measures the full per-frame pipeline on device -- letterbox + YOLOv11-seg
+forward + decode/NMS/retina-masks + projection + mask gather + inside-count
+matmuls + best-box matching -- over the bundled 19-frame sample batch,
+steady-state, inputs device-resident (the production serving layout).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 500 (the north-star >500 frames/s/chip on v5e,
+BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+KITTI_ROOT = os.environ.get("LIDAR_TPU_KITTI360",
+                            "/root/reference/KITTI360_sample")
+BASELINE_FPS = 500.0
+
+
+def main():
+    import jax
+
+    from lidar_object_detection_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from lidar_object_detection_tpu.config import FusionConfig, PipelineVersion
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.fusion import FusionParams, fuse_batch
+    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+    from lidar_object_detection_tpu.models.yolo.model import YoloConfig
+
+    scale = os.environ.get("BENCH_YOLO_SCALE", "x")
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    cfg = FusionConfig.for_version(PipelineVersion.CSV_EVAL)
+    params = FusionParams.from_config(cfg)
+    ds = Kitti360Dataset(KITTI_ROOT, shapes=cfg.shapes)
+    records = ds.load_frames()
+    batch = ds.make_batch(records)
+    images = ds.load_images(batch)
+    n_frames = batch.batch_size
+
+    detector = YoloDetector(
+        (cfg.shapes.image_height, cfg.shapes.image_width),
+        YoloConfig(scale=scale),
+        max_detections=cfg.shapes.max_detections,
+        dtype=jnp.bfloat16)
+
+    # device-resident inputs
+    d_images = jax.device_put(jnp.asarray(images))
+    d_points = jax.device_put(jnp.asarray(batch.points))
+    d_pvalid = jax.device_put(jnp.asarray(batch.point_valid))
+    d_corners = jax.device_put(jnp.asarray(batch.corners_cam0))
+    d_bvalid = jax.device_put(jnp.asarray(batch.box_valid))
+    calib = (jnp.asarray(ds.transforms.velo_to_rect, dtype=jnp.float32),
+             jnp.asarray(ds.transforms.cam_to_velo, dtype=jnp.float32),
+             jnp.asarray(ds.camera.intrinsics, dtype=jnp.float32))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def end_to_end(variables, images, points, pvalid, corners, bvalid):
+        det = detector.detect_fn(variables, images)
+        fused = fuse_batch(points, pvalid, det["mask_bits"],
+                           det["det_valid"], corners, bvalid, *calib,
+                           params=params)
+        return {"total_points": fused["total_points"],
+                "points_inside": fused["points_inside"],
+                "best_box": fused["best_box"],
+                "matched": fused["matched"],
+                "boxes": det["boxes"], "scores": det["scores"]}
+
+    args = (detector.variables, d_images, d_points, d_pvalid, d_corners,
+            d_bvalid)
+    out = end_to_end(*args)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = end_to_end(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = iters * n_frames / dt
+    print(json.dumps({
+        "metric": f"kitti360_e2e_frames_per_sec_per_chip(yolo11{scale}-seg+fusion)",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

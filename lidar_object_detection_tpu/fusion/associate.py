@@ -272,17 +272,17 @@ def hungarian_match(det_boxes, det_valid, corners_cam0, box_valid, intrinsics,
     rejected by the gates), with the pair's score and IoU.
     """
     d, g = det_boxes.shape[0], corners_cam0.shape[0]
-    n = max(d, g)
     score, iou, proj_valid = matching_scores(
         det_boxes, corners_cam0, intrinsics, weight_iou, weight_center,
         weight_size, center_norm)
     gt_ok = proj_valid & box_valid
 
-    cost = jnp.zeros((n, n), jnp.float32)
-    cost = cost.at[:d, :g].set(1.0 - score.astype(jnp.float32))
-    row_mask = jnp.zeros((n,), bool).at[:d].set(det_valid)
-    col_mask = jnp.zeros((n,), bool).at[:g].set(gt_ok)
-    col4row = hungarian(cost, row_mask=row_mask, col_mask=col_mask)[:d]
+    # rectangular solve: D rows x max(G, D) cols (the solver needs R <= C)
+    c = max(g, d)
+    cost = jnp.full((d, c), 2.0, jnp.float32)
+    cost = cost.at[:, :g].set(1.0 - score.astype(jnp.float32))
+    col_mask = jnp.zeros((c,), bool).at[:g].set(gt_ok)
+    col4row = hungarian(cost, row_mask=det_valid, col_mask=col_mask)
 
     in_range = (col4row >= 0) & (col4row < g)
     safe = jnp.clip(col4row, 0, g - 1)

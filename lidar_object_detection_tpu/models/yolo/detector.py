@@ -1,0 +1,75 @@
+"""High-level detector wrapper: images in, fusion-ready detections out.
+
+Bundles the Flax YOLO11 network, the static letterbox geometry, and the
+jitted decode/NMS/mask pipeline into the framework's detector interface --
+the role ``model.predict(...)`` plays in the reference (V1:55-93), minus the
+host round-trips: output masks stay on device as packed uint32 bit planes
+and feed :func:`lidar_object_detection_tpu.fusion.associate.fuse_frame`
+directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_object_detection_tpu.models.yolo.model import Yolo11, YoloConfig
+from lidar_object_detection_tpu.models.yolo.postprocess import (
+    LetterboxSpec,
+    PostprocessParams,
+    letterbox_image,
+    postprocess_single,
+)
+
+
+class YoloDetector:
+    """Detector over fixed-size images.
+
+    Args:
+      image_shape: (H0, W0) of the source images (1408x376 for KITTI-360).
+      cfg: network scale/config (default yolo11x-seg equivalent).
+      variables: converted weights; random init when omitted (structure and
+        perf are exercisable without the checkpoint; accuracy obviously not).
+      conf / iou: ultralytics predict defaults (0.25 / 0.7).
+      class_id: car = 2 (V1:57).
+    """
+
+    def __init__(self, image_shape, cfg: YoloConfig = YoloConfig(),
+                 variables: Optional[dict] = None, imgsz: int = 640,
+                 conf: float = 0.25, iou: float = 0.7, class_id: int = 2,
+                 max_detections: int = 32, max_candidates: int = 256,
+                 dtype: Any = jnp.float32, seed: int = 0):
+        self.cfg = cfg
+        self.model = Yolo11(cfg, dtype=dtype)
+        h0, w0 = image_shape
+        self.spec = LetterboxSpec.build(h0, w0, imgsz)
+        self.params = PostprocessParams(
+            spec=self.spec, conf_threshold=conf, iou_threshold=iou,
+            class_id=class_id, max_candidates=max_candidates,
+            max_detections=max_detections)
+        if variables is None:
+            dummy = jnp.zeros((1, self.spec.dst_h, self.spec.dst_w, 3), dtype)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+        # unjitted fn exposed for composition into larger jitted programs
+        self.detect_fn = functools.partial(
+            _detect_batch, model=self.model, pp=self.params)
+        self._detect = jax.jit(self.detect_fn)
+
+    def detect(self, images) -> Dict[str, jnp.ndarray]:
+        """(B, H0, W0, 3) uint8 RGB -> dict(boxes, scores, det_valid,
+        mask_bits), confidence-sorted per frame."""
+        return self._detect(self.variables, jnp.asarray(images))
+
+
+def _detect_batch(variables, images, *, model: Yolo11,
+                  pp: PostprocessParams):
+    imgs = images.astype(jnp.float32) / 255.0
+    lb = jax.vmap(lambda im: letterbox_image(im, pp.spec))(imgs)
+    lb = lb.astype(model.dtype)
+    outputs = model.apply(variables, lb)
+    return jax.vmap(lambda one: postprocess_single(one, pp))(outputs)

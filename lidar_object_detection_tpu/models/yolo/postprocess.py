@@ -1,0 +1,209 @@
+"""YOLO decode + NMS + retina-mask assembly, fixed-shape and jitted.
+
+Replaces everything ultralytics does inside ``model.predict(..., classes=2,
+retina_masks=True)`` (V1_BBox_Pointwise_filtering.py:57): letterbox
+preprocessing, DFL box decoding, confidence gating, class filtering, NMS,
+coordinate un-letterboxing, and native-resolution mask assembly
+(``process_mask_native`` semantics: sigmoid(coef @ protos) -> remove
+letterbox padding -> bilinear resize to the original image -> crop to the
+box -> threshold 0.5).
+
+TPU idioms: every stage has a static shape (top-K candidate gather, padded
+detection slots with validity masks); the final instance masks are emitted
+directly as the uint32 bit-plane image
+(:mod:`lidar_object_detection_tpu.ops.masks`) the fusion stage consumes, so
+masks never round-trip through a ragged per-instance representation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_object_detection_tpu.models.yolo.model import REG_MAX, STRIDES
+from lidar_object_detection_tpu.ops.nms import nms
+
+
+@dataclasses.dataclass(frozen=True)
+class LetterboxSpec:
+    """Static letterbox geometry (ultralytics ``LetterBox`` with
+    ``auto=True``, stride 32): scale the long side to ``imgsz``, pad the
+    short side up to the next stride multiple, split padding evenly with
+    the reference's round(x -/+ 0.1) tie-break."""
+
+    src_h: int
+    src_w: int
+    dst_h: int
+    dst_w: int
+    scaled_h: int
+    scaled_w: int
+    top: int
+    left: int
+    ratio: float
+
+    @staticmethod
+    def build(src_h: int, src_w: int, imgsz: int = 640,
+              stride: int = 32) -> "LetterboxSpec":
+        r = min(imgsz / src_h, imgsz / src_w)
+        new_w, new_h = round(src_w * r), round(src_h * r)
+        dw = (-new_w) % stride
+        dh = (-new_h) % stride
+        dw2, dh2 = dw / 2, dh / 2
+        top = int(round(dh2 - 0.1))
+        left = int(round(dw2 - 0.1))
+        return LetterboxSpec(
+            src_h=src_h, src_w=src_w, dst_h=new_h + dh, dst_w=new_w + dw,
+            scaled_h=new_h, scaled_w=new_w, top=top, left=left, ratio=r)
+
+
+def letterbox_image(image, spec: LetterboxSpec, pad_value: float = 114 / 255):
+    """(H0, W0, 3) float [0,1] -> (dst_h, dst_w, 3) letterboxed."""
+    resized = jax.image.resize(
+        image, (spec.scaled_h, spec.scaled_w, 3), method="bilinear")
+    out = jnp.full((spec.dst_h, spec.dst_w, 3), pad_value, image.dtype)
+    return jax.lax.dynamic_update_slice(out, resized, (spec.top, spec.left, 0))
+
+
+def _anchors(level_shapes: Tuple[Tuple[int, int], ...], dtype=jnp.float32):
+    """Anchor centers (cell + 0.5) and per-anchor strides, flattened over
+    all levels."""
+    points, strides = [], []
+    for (h, w), s in zip(level_shapes, STRIDES):
+        ys = (jnp.arange(h, dtype=dtype) + 0.5)
+        xs = (jnp.arange(w, dtype=dtype) + 0.5)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        points.append(jnp.stack([gx.ravel(), gy.ravel()], -1))
+        strides.append(jnp.full((h * w,), s, dtype))
+    return jnp.concatenate(points, 0), jnp.concatenate(strides, 0)
+
+
+def decode_boxes(box_logits, level_shapes):
+    """DFL decode -> xyxy in letterbox pixels.
+
+    Args:
+      box_logits: (N, 4 * REG_MAX) flattened over levels.
+      level_shapes: static ((h, w), ...) per level.
+    """
+    n = box_logits.shape[0]
+    dist = jax.nn.softmax(
+        box_logits.reshape(n, 4, REG_MAX).astype(jnp.float32), axis=-1)
+    dist = dist @ jnp.arange(REG_MAX, dtype=jnp.float32)       # (N, 4) ltrb
+    points, strides = _anchors(level_shapes)
+    lt, rb = dist[:, :2], dist[:, 2:]
+    x1y1 = (points - lt) * strides[:, None]
+    x2y2 = (points + rb) * strides[:, None]
+    return jnp.concatenate([x1y1, x2y2], -1)
+
+
+def unletterbox_boxes(boxes, spec: LetterboxSpec):
+    """Letterbox pixels -> original-image pixels, clipped (scale_boxes)."""
+    shift = jnp.asarray([spec.left, spec.top, spec.left, spec.top],
+                        boxes.dtype)
+    out = (boxes - shift) / spec.ratio
+    limit = jnp.asarray([spec.src_w, spec.src_h, spec.src_w, spec.src_h],
+                        boxes.dtype)
+    return jnp.clip(out, 0.0, limit)
+
+
+@dataclasses.dataclass(frozen=True)
+class PostprocessParams:
+    spec: LetterboxSpec
+    conf_threshold: float = 0.25
+    iou_threshold: float = 0.7
+    class_id: int = 2            # car (V1:57)
+    max_candidates: int = 256
+    max_detections: int = 32
+    retina_masks: bool = True
+
+
+def postprocess_single(outputs, params: PostprocessParams):
+    """Decode one image's raw network outputs.
+
+    Args:
+      outputs: dict from ``Yolo11.__call__`` with leading batch dim of 1
+        removed per level (each level (h, w, C)).
+      params: static decode parameters.
+
+    Returns dict:
+      boxes: (D, 4) xyxy in original-image pixels,
+      scores: (D,), det_valid: (D,) bool (confidence-sorted, like the
+      reference's sort at V1:69-72),
+      mask_bits: (H0, W0) uint32 packed instance masks (zeros when the
+      model head has no mask branch).
+    """
+    p = params
+    spec = p.spec
+    level_shapes = tuple(b.shape[:2] for b in outputs["box"])
+
+    box_flat = jnp.concatenate(
+        [b.reshape(-1, 4 * REG_MAX) for b in outputs["box"]], 0)
+    cls_flat = jnp.concatenate(
+        [c.reshape(-1, c.shape[-1]) for c in outputs["cls"]], 0)
+
+    scores = jax.nn.sigmoid(
+        cls_flat[:, p.class_id].astype(jnp.float32))           # (N,)
+    # Static top-K candidate gather (replaces the dynamic conf filter).
+    k = min(p.max_candidates, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    cand_valid = top_scores > p.conf_threshold
+
+    boxes_lb = decode_boxes(box_flat, level_shapes)[top_idx]
+    keep_idx, keep_valid = nms(boxes_lb, top_scores, cand_valid,
+                               p.iou_threshold, p.max_detections)
+
+    det_boxes_lb = boxes_lb[keep_idx]
+    det_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
+    det_boxes = unletterbox_boxes(det_boxes_lb, spec)
+    det_boxes = jnp.where(keep_valid[:, None], det_boxes, 0.0)
+
+    out = {"boxes": det_boxes, "scores": det_scores, "det_valid": keep_valid}
+
+    if "coef" in outputs and p.retina_masks:
+        coef_flat = jnp.concatenate(
+            [c.reshape(-1, c.shape[-1]) for c in outputs["coef"]], 0)
+        det_coef = coef_flat[top_idx][keep_idx]                # (D, nm)
+        out["mask_bits"] = _assemble_masks(
+            outputs["proto"], det_coef, det_boxes, keep_valid, spec)
+    else:
+        out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
+    return out
+
+
+def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec):
+    """``process_mask_native``: sigmoid(coef @ protos), strip letterbox
+    padding at proto resolution, bilinear-resize to the original image,
+    crop to each box, threshold 0.5 -- emitted as packed uint32 bits."""
+    mh, mw, nm = protos.shape
+    d = coef.shape[0]
+    logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
+                        protos.astype(jnp.float32))
+    masks = jax.nn.sigmoid(logits)                              # (D, mh, mw)
+
+    # scale_masks: remove padding computed at mask resolution
+    gain = min(mh / spec.src_h, mw / spec.src_w)
+    pad_w = (mw - spec.src_w * gain) / 2
+    pad_h = (mh - spec.src_h * gain) / 2
+    top = int(round(pad_h - 0.1))
+    left = int(round(pad_w - 0.1))
+    bottom = mh - int(round(pad_h + 0.1))
+    right = mw - int(round(pad_w + 0.1))
+    masks = masks[:, top:bottom, left:right]
+    masks = jax.image.resize(masks, (d, spec.src_h, spec.src_w),
+                             method="bilinear")
+
+    ys = jnp.arange(spec.src_h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(spec.src_w, dtype=jnp.float32)[None, None, :]
+    x1 = boxes[:, 0][:, None, None]
+    y1 = boxes[:, 1][:, None, None]
+    x2 = boxes[:, 2][:, None, None]
+    y2 = boxes[:, 3][:, None, None]
+    in_box = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+    binary = (masks > 0.5) & in_box & det_valid[:, None, None]
+
+    weights = (jnp.uint32(1) << jnp.arange(d, dtype=jnp.uint32))
+    return jnp.sum(binary.astype(jnp.uint32) * weights[:, None, None],
+                   axis=0, dtype=jnp.uint32)

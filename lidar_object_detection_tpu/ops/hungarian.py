@@ -1,18 +1,20 @@
-"""Exact Hungarian assignment, jit-compiled, fixed shape.
+"""Exact Hungarian assignment, jit-compiled, fixed shape, rectangular.
 
 The reference calls ``scipy.optimize.linear_sum_assignment`` on a ragged
 (detections x boxes) cost matrix (V5_ProjectingBBoxes.py:360), a C boundary
-in the middle of the pipeline.  Problem sizes are tiny (<= 32 x 64), so an
-exact O(n^3) shortest-augmenting-path solver (the same algorithm family as
-scipy's) runs fully on device under ``jit`` with static shapes -- no host
-round-trip, batchable with ``vmap``.
+in the middle of the pipeline.  Problem sizes are small and lopsided
+(<= 32 detections x <= 384 boxes), so this is the rectangular
+shortest-augmenting-path algorithm (the same family as scipy's): one
+Dijkstra augmentation per ROW, i.e. at most 32 sequential ``while_loop``
+phases regardless of the box count -- the shape that matters on TPU, where
+sequential loop iterations dominate latency, not the vectorized
+column-wide updates inside them.
 
-Invalid rows/columns are handled by padding the cost matrix with a large
-uniform cost: padded pairs never displace a feasible real pair (their cost
-dominates any real cost), so the restriction of the solution to real rows
-and columns equals the assignment scipy returns on the compacted matrix.
-Exact cost ties may resolve to a different (equally optimal) permutation
-than scipy's.
+Invalid rows/columns are handled by padding with a large uniform cost:
+padded pairs never displace a feasible real pair, so the restriction of the
+solution to real rows and columns equals scipy's assignment on the
+compacted matrix (up to exact-cost ties, which may resolve to a different
+equally-optimal permutation).
 """
 
 from __future__ import annotations
@@ -24,20 +26,22 @@ PAD_COST = 1.0e6
 
 
 def hungarian(cost, row_mask=None, col_mask=None):
-    """Solve min-cost perfect assignment on an (N, N) square cost matrix.
+    """Solve the min-cost assignment on an (R, C) cost matrix, R <= C.
 
     Args:
-      cost: (N, N) float costs.  Must be finite.
-      row_mask: optional (N,) bool; invalid rows get ``PAD_COST`` everywhere.
-      col_mask: optional (N,) bool; invalid cols get ``PAD_COST`` everywhere.
+      cost: (R, C) finite float costs.  Every row gets a distinct column
+        (possible since R <= C).
+      row_mask: optional (R,) bool; invalid rows get ``PAD_COST`` everywhere.
+      col_mask: optional (C,) bool; invalid cols get ``PAD_COST`` everywhere.
 
     Returns:
-      col4row: (N,) int32, the column assigned to each row.  Every row is
-      assigned (the matrix is square); callers filter padded pairs via their
-      own masks/thresholds.
+      col4row: (R,) int32 column assigned to each row.  Callers filter
+      padded pairs via their own masks/thresholds.
     """
-    n = cost.shape[0]
-    assert cost.shape == (n, n), "hungarian expects a square matrix"
+    r, c = cost.shape
+    if r > c:
+        raise ValueError(f"hungarian needs rows <= cols, got {r}x{c}; "
+                         "pad the column axis")
     cost = cost.astype(jnp.float32)
     if row_mask is not None:
         cost = jnp.where(row_mask[:, None], cost, PAD_COST)
@@ -57,7 +61,7 @@ def hungarian(cost, row_mask=None, col_mask=None):
         def dijkstra_body(state):
             sink, i, min_val, spc, path, sr, sc = state
             sr = sr.at[i].set(True)
-            cand = min_val + cost[i] - u[i] - v           # (N,)
+            cand = min_val + cost[i] - u[i] - v            # (C,)
             better = (cand < spc) & (~sc)
             spc = jnp.where(better, cand, spc)
             path = jnp.where(better, i, path)
@@ -71,17 +75,17 @@ def hungarian(cost, row_mask=None, col_mask=None):
             return (sink, i, min_val, spc, path, sr, sc)
 
         init = (jnp.int32(-1), cur_row, jnp.float32(0.0),
-                jnp.full((n,), inf), jnp.full((n,), -1, jnp.int32),
-                jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+                jnp.full((c,), inf), jnp.full((c,), -1, jnp.int32),
+                jnp.zeros((r,), bool), jnp.zeros((c,), bool))
         sink, _, min_val, spc, path, sr, sc = jax.lax.while_loop(
             dijkstra_cond, dijkstra_body, init)
 
         # --- dual updates ---
         u = u.at[cur_row].add(min_val)
-        other_rows = sr & (jnp.arange(n) != cur_row)
+        other_rows = sr & (jnp.arange(r) != cur_row)
         # col4row[i] is valid for every assigned row i in SR (other than cur).
         u = jnp.where(other_rows,
-                      u + min_val - spc[jnp.clip(col4row, 0, n - 1)], u)
+                      u + min_val - spc[jnp.clip(col4row, 0, c - 1)], u)
         v = jnp.where(sc, v - (min_val - spc), v)
 
         # --- augment along the alternating path back to cur_row ---
@@ -102,11 +106,11 @@ def hungarian(cost, row_mask=None, col_mask=None):
 
         return (u, v, row4col, col4row), None
 
-    u0 = jnp.zeros((n,), jnp.float32)
-    v0 = jnp.zeros((n,), jnp.float32)
-    row4col0 = jnp.full((n,), -1, jnp.int32)
-    col4row0 = jnp.full((n,), -1, jnp.int32)
+    u0 = jnp.zeros((r,), jnp.float32)
+    v0 = jnp.zeros((c,), jnp.float32)
+    row4col0 = jnp.full((c,), -1, jnp.int32)
+    col4row0 = jnp.full((r,), -1, jnp.int32)
     (_, _, _, col4row), _ = jax.lax.scan(
         solve_row, (u0, v0, row4col0, col4row0),
-        jnp.arange(n, dtype=jnp.int32))
+        jnp.arange(r, dtype=jnp.int32))
     return col4row

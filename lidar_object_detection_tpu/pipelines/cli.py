@@ -1,0 +1,144 @@
+"""Command-line interface -- the framework's answer to the reference's
+``python V1_BBox_Pointwise_filtering.py`` style entry points.
+
+  python -m lidar_object_detection_tpu run --version csv_eval \
+      --dataset /path/to/KITTI360_sample --output results/
+
+Subcommands: ``run`` (any fusion pipeline version), ``depth-maps``
+(per-car depth-map PNG export), ``kitti2d`` (2D detection eval), ``bench``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from lidar_object_detection_tpu.config import PipelineVersion
+
+
+def _add_common(p):
+    p.add_argument("--dataset", required=True,
+                   help="KITTI-360 root (contains calibration/, data_3d_raw/...)")
+    p.add_argument("--frames", type=int, nargs="*", default=None,
+                   help="frame ids (default: all)")
+    p.add_argument("--detector", choices=["stub", "yolo"], default="stub",
+                   help="stub = GT-derived synthetic detections; yolo = Flax "
+                        "YOLOv11-seg (needs --weights for real accuracy)")
+    p.add_argument("--weights", default=None,
+                   help="converted state-dict file for the yolo detector")
+
+
+def _build_detector(args, dataset):
+    if args.detector == "stub":
+        return None
+    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+    from lidar_object_detection_tpu.models.yolo.model import YoloConfig
+    from lidar_object_detection_tpu.models.yolo.weights import (
+        convert_state_dict, load_state_dict_file)
+    det = YoloDetector((dataset.camera.height, dataset.camera.width),
+                       YoloConfig())
+    if args.weights:
+        sd = load_state_dict_file(args.weights)
+        det.variables = convert_state_dict(sd, det.variables)
+    return det
+
+
+def main(argv=None) -> int:
+    from lidar_object_detection_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser(prog="lidar_object_detection_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run a fusion pipeline version")
+    _add_common(run_p)
+    run_p.add_argument("--version", default="csv_eval",
+                       choices=[v.value for v in PipelineVersion
+                                if v not in (PipelineVersion.DEPTH_MAPS,
+                                             PipelineVersion.KITTI2D_EVAL)])
+    run_p.add_argument("--output", default="results",
+                       help="output dir (master CSV, PLY exports)")
+    run_p.add_argument("--export-ply", action="store_true")
+
+    dm_p = sub.add_parser("depth-maps", help="per-car depth-map export")
+    _add_common(dm_p)
+    dm_p.add_argument("--output", default="Predictions")
+
+    k2_p = sub.add_parser("kitti2d", help="KITTI 2D detection eval")
+    k2_p.add_argument("--dataset", required=True,
+                      help="KITTI_Selection root (images/ labels/ calib/)")
+    k2_p.add_argument("--output", default="results")
+    k2_p.add_argument("--conf", type=float, default=0.5)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "kitti2d":
+        from lidar_object_detection_tpu.pipelines.kitti2d import run_kitti2d_eval
+        result = run_kitti2d_eval(args.dataset, output_dir=args.output,
+                                  conf=args.conf)
+        t = result.totals
+        print(f"TP: {t['tp']}  FP: {t['fp']}  FN: {t['fn']}")
+        print(f"Precision: {t['precision']:.2f}  Recall: {t['recall']:.2f}")
+        return 0
+
+    from lidar_object_detection_tpu.data.kitti360 import Kitti360Dataset
+    from lidar_object_detection_tpu.pipelines import runner
+
+    if args.cmd == "depth-maps":
+        from lidar_object_detection_tpu.config import FusionConfig
+        cfg = FusionConfig.for_version(PipelineVersion.DEPTH_MAPS)
+        ds = Kitti360Dataset(args.dataset, shapes=cfg.shapes)
+        pipe = runner.FusionPipeline(ds, cfg, _build_detector(args, ds))
+        os.makedirs(args.output, exist_ok=True)
+        from lidar_object_detection_tpu.viz.overlay import depth_map_figure
+        images = None
+        count = 0
+        for frame_id, car_id, dm in pipe.depth_maps(args.frames):
+            path = os.path.join(
+                args.output, f"{frame_id:010d},depth_map_car_{car_id:02d}_.png")
+            seg = (images if images is not None
+                   else __import__("numpy").zeros((*dm.shape, 3), "uint8"))
+            depth_map_figure(dm, seg, car_id, frame_id, path)
+            count += 1
+        print(f"wrote {count} depth maps to {args.output}")
+        return 0
+
+    # cmd == run
+    version = PipelineVersion(args.version)
+    from lidar_object_detection_tpu.config import FusionConfig
+    cfg = FusionConfig.for_version(version)
+    ds = Kitti360Dataset(args.dataset, shapes=cfg.shapes)
+    pipe = runner.FusionPipeline(ds, cfg, _build_detector(args, ds))
+    os.makedirs(args.output, exist_ok=True)
+    master_csv = (os.path.join(args.output, "master_car_statistics.csv")
+                  if version in (PipelineVersion.CSV_EVAL,
+                                 PipelineVersion.V2_STATS,
+                                 PipelineVersion.V3_EROSION) else None)
+    result = pipe.run(args.frames, master_csv=master_csv)
+
+    print(f"processed {len(result.frames)} frames in {result.elapsed_s:.3f}s "
+          f"({result.frames_per_s:.1f} frames/s)")
+    s = result.summary()
+    print(f"cars: {s['total_cars']}  matched: {s['matched']}  "
+          f"avg inside%: {s['avg_inside_pct']:.2f}")
+    for fr in result.frames:
+        print(f"frame {fr.frame_id}: {fr.num_detections} detections, "
+              f"{fr.num_visible_boxes} visible boxes, "
+              f"{len(fr.matched_pairs)} matched")
+    if master_csv:
+        from lidar_object_detection_tpu.eval.statistics import analyze_master_csv
+        print("analysis:", analyze_master_csv(master_csv))
+    if args.export_ply:
+        from lidar_object_detection_tpu.viz.export import export_fusion_scene
+        records = ds.load_frames(args.frames)
+        batch = ds.make_batch(records)
+        for fr, rec in zip(result.frames, records):
+            path = os.path.join(args.output, f"frame_{fr.frame_id:010d}.ply")
+            export_fusion_scene(path, rec.points[:, :3], None,
+                                fr.matched_pairs)
+        print(f"PLY scenes written to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

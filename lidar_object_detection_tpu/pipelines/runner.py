@@ -1,0 +1,250 @@
+"""The fusion pipeline runner -- public entry points mirroring the
+reference scripts (SURVEY.md section 7, step 6).
+
+One parameterized runner covers V1-V3 + csv_eval (point-count matching with
+or without erosion), V4 (greedy 2D IoU) and V5 (Hungarian); thin wrappers
+pin each version's reference defaults.  The per-frame outputs carry
+everything the reference's scripts print/visualize/export:
+
+  * per-car statistics rows (V2/V3/cvs_erosion master CSV schema),
+  * matched (corners_velo, detection) pairs for wireframe rendering
+    (V1:400-405, V4:177-182, V5:553-556),
+  * per-detection point clouds (index lists into the padded scan),
+  * optional per-car depth maps (seg_with_pointcloud.py).
+
+Everything device-side runs through ONE jitted, vmapped fusion step; the
+runner only orchestrates IO, the detector, and host-side formatting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_object_detection_tpu.config import (
+    FusionConfig, MatchStrategy, PipelineVersion)
+from lidar_object_detection_tpu.data.kitti360 import FrameBatch, Kitti360Dataset
+from lidar_object_detection_tpu.eval import statistics as stats_lib
+from lidar_object_detection_tpu.fusion import (
+    FusionParams, fuse_batch, greedy_iou_match, hungarian_match)
+from lidar_object_detection_tpu.models.stub import StubDetector
+from lidar_object_detection_tpu.ops.scatter import scatter_depth_maps
+
+
+@dataclasses.dataclass
+class FrameResult:
+    frame_id: int
+    statistics: List[stats_lib.CarStatistics]
+    matched_pairs: List[dict]          # {detection, box_index, corners_velo, ...}
+    num_detections: int
+    num_visible_boxes: int
+
+
+@dataclasses.dataclass
+class RunResult:
+    frames: List[FrameResult]
+    csv_rows: List[stats_lib.CarStatistics]
+    elapsed_s: float
+    frames_per_s: float
+
+    def summary(self) -> dict:
+        return stats_lib.summarize(self.csv_rows)
+
+
+class FusionPipeline:
+    """Glue: dataset -> detector -> jitted fusion -> eval/export."""
+
+    def __init__(self, dataset: Kitti360Dataset, config: FusionConfig,
+                 detector=None):
+        self.dataset = dataset
+        self.config = config
+        self.params = FusionParams.from_config(config)
+        self.detector = detector or StubDetector(
+            dataset.camera, max_detections=config.shapes.max_detections,
+            depth_range=(0.0, config.depth_max))
+        t = dataset.transforms
+        self._velo_to_rect = jnp.asarray(t.velo_to_rect, dtype=jnp.float32)
+        self._cam_to_velo = jnp.asarray(t.cam_to_velo, dtype=jnp.float32)
+        self._intrinsics = jnp.asarray(dataset.camera.intrinsics,
+                                       dtype=jnp.float32)
+
+    # ------------------------------------------------------------------
+    def detect(self, records, batch: FrameBatch) -> Dict[str, np.ndarray]:
+        """Run the configured detector; Yolo gets images, the stub gets
+        the frame records."""
+        if isinstance(self.detector, StubDetector):
+            return self.detector.detect_records(records)
+        images = self.dataset.load_images(batch)
+        out = self.detector.detect(images)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def fuse(self, batch: FrameBatch, detections: Dict[str, np.ndarray]):
+        return fuse_batch(
+            jnp.asarray(batch.points), jnp.asarray(batch.point_valid),
+            jnp.asarray(detections["mask_bits"]),
+            jnp.asarray(detections["det_valid"]),
+            jnp.asarray(batch.corners_cam0), jnp.asarray(batch.box_valid),
+            self._velo_to_rect, self._cam_to_velo, self._intrinsics,
+            self.params)
+
+    # ------------------------------------------------------------------
+    def run(self, frame_ids: Optional[Sequence[int]] = None,
+            master_csv: Optional[str] = None) -> RunResult:
+        records = self.dataset.load_frames(frame_ids)
+        if not records:
+            return RunResult([], [], 0.0, 0.0)
+        batch = self.dataset.make_batch(records)
+        detections = self.detect(records, batch)
+
+        t0 = time.perf_counter()
+        fused = self.fuse(batch, detections)
+        strategy = self.config.match_strategy
+        if strategy == MatchStrategy.GREEDY_IOU:
+            match_idx, match_iou = jax.vmap(
+                lambda db, dv, c, bv: greedy_iou_match(
+                    db, dv, c, bv, self._intrinsics,
+                    self.config.greedy_min_iou))(
+                jnp.asarray(detections["boxes"]),
+                jnp.asarray(detections["det_valid"]),
+                jnp.asarray(batch.corners_cam0),
+                jnp.asarray(fused["box_visible"]))
+            match_aux = {"iou": np.asarray(match_iou)}
+            match_idx = np.asarray(match_idx)
+        elif strategy == MatchStrategy.HUNGARIAN:
+            c = self.config
+            match_idx, m_score, m_iou = jax.vmap(
+                lambda db, dv, corners, bv: hungarian_match(
+                    db, dv, corners, bv, self._intrinsics,
+                    c.hungarian_min_score, c.hungarian_min_iou,
+                    c.score_weight_iou, c.score_weight_center,
+                    c.score_weight_size, c.center_norm))(
+                jnp.asarray(detections["boxes"]),
+                jnp.asarray(detections["det_valid"]),
+                jnp.asarray(batch.corners_cam0),
+                jnp.asarray(batch.box_valid))
+            match_aux = {"score": np.asarray(m_score),
+                         "iou": np.asarray(m_iou)}
+            match_idx = np.asarray(match_idx)
+        else:
+            match_idx = np.asarray(fused["best_box"])
+            match_aux = {}
+        jax.block_until_ready(fused["counts"])
+        elapsed = time.perf_counter() - t0
+
+        fused_np = {k: np.asarray(v) for k, v in fused.items()
+                    if k not in ("car_mask", "eroded_mask_bits")}
+        frames: List[FrameResult] = []
+        all_rows: List[stats_lib.CarStatistics] = []
+        for i, rec in enumerate(records):
+            rows = stats_lib.frame_statistics(
+                rec.frame_id, fused_np["total_points"][i],
+                fused_np["best_box"][i], fused_np["points_inside"][i],
+                fused_np["matched"][i], detections["det_valid"][i],
+                fused_np["box_visible"][i])
+            pairs = self._matched_pairs(
+                i, rec, match_idx[i], detections, fused_np, match_aux)
+            frames.append(FrameResult(
+                frame_id=rec.frame_id, statistics=rows, matched_pairs=pairs,
+                num_detections=int(detections["det_valid"][i].sum()),
+                num_visible_boxes=int(fused_np["box_visible"][i].sum())))
+            all_rows.extend(rows)
+            if master_csv:
+                stats_lib.append_to_master_csv(rows, master_csv)
+        fps = len(records) / elapsed if elapsed > 0 else 0.0
+        return RunResult(frames=frames, csv_rows=all_rows,
+                         elapsed_s=elapsed, frames_per_s=fps)
+
+    def _matched_pairs(self, i, rec, match_idx, detections, fused_np,
+                       match_aux) -> List[dict]:
+        pairs = []
+        corners_velo = fused_np["corners_velo"][i]
+        for det in range(self.config.shapes.max_detections):
+            if not detections["det_valid"][i][det]:
+                continue
+            box = int(match_idx[det])
+            if box < 0:
+                continue
+            pair = {"detection": det, "box_index": box,
+                    "corners_velo": corners_velo[box]}
+            for k, v in match_aux.items():
+                pair[k] = float(v[i][det])
+            if self.config.match_strategy == MatchStrategy.POINT_COUNT:
+                pair["point_count"] = int(fused_np["points_inside"][i][det])
+            pairs.append(pair)
+        return pairs
+
+    # ------------------------------------------------------------------
+    def depth_maps(self, frame_ids: Optional[Sequence[int]] = None):
+        """Per-car depth maps (seg_with_pointcloud.py:160-170), on device.
+
+        Yields (frame_id, car_id, depth_map) for each detection with points.
+        """
+        records = self.dataset.load_frames(frame_ids)
+        batch = self.dataset.make_batch(records)
+        detections = self.detect(records, batch)
+        fused = self.fuse(batch, detections)
+        s = self.config.shapes
+        dm = jax.vmap(
+            lambda u, v, d, cm, pv: scatter_depth_maps(
+                u, v, d, cm, pv, s.image_height, s.image_width))(
+            fused["u"], fused["v"], fused["depth"], fused["car_mask"],
+            fused["point_valid"])
+        dm = np.asarray(dm)
+        for i, rec in enumerate(records):
+            for det in range(s.max_detections):
+                if not detections["det_valid"][i][det]:
+                    continue
+                if dm[i, det].max() <= 0:
+                    continue   # reference skips empty maps (:174-175)
+                yield rec.frame_id, det + 1, dm[i, det]
+
+
+# ---------------------------------------------------------------------------
+# Version entry points (reference script equivalents)
+# ---------------------------------------------------------------------------
+
+def _make(dataset_root: str, version: PipelineVersion, detector=None,
+          **overrides) -> FusionPipeline:
+    cfg = FusionConfig.for_version(version)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    ds = Kitti360Dataset(dataset_root, shapes=cfg.shapes)
+    return FusionPipeline(ds, cfg, detector)
+
+
+def v1_pointwise(dataset_root: str, detector=None, **kw) -> FusionPipeline:
+    """V1_BBox_Pointwise_filtering.py equivalent."""
+    return _make(dataset_root, PipelineVersion.V1_POINTWISE, detector, **kw)
+
+
+def v2_stats(dataset_root: str, detector=None, **kw) -> FusionPipeline:
+    """V2_point_cloud_without_erosion.py equivalent."""
+    return _make(dataset_root, PipelineVersion.V2_STATS, detector, **kw)
+
+
+def v3_erosion(dataset_root: str, detector=None, **kw) -> FusionPipeline:
+    """V3_point_cloud_with_erosion.py equivalent."""
+    return _make(dataset_root, PipelineVersion.V3_EROSION, detector, **kw)
+
+
+def v4_iou(dataset_root: str, detector=None, **kw) -> FusionPipeline:
+    """V4_BBox_IoU_filtering.py equivalent (greedy IoU, depth < 30)."""
+    return _make(dataset_root, PipelineVersion.V4_IOU, detector, **kw)
+
+
+def v5_projected(dataset_root: str, detector=None, **kw) -> FusionPipeline:
+    """V5_ProjectingBBoxes.py equivalent (Hungarian matching)."""
+    return _make(dataset_root, PipelineVersion.V5_PROJECTED, detector, **kw)
+
+
+def csv_eval(dataset_root: str, master_csv: str, detector=None,
+             **kw) -> dict:
+    """cvs_erosion.py equivalent: batch run, master CSV, whole-run analysis."""
+    pipe = _make(dataset_root, PipelineVersion.CSV_EVAL, detector, **kw)
+    pipe.run(master_csv=master_csv)
+    return stats_lib.analyze_master_csv(master_csv)

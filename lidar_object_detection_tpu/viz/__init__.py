@@ -1,0 +1,8 @@
+from lidar_object_detection_tpu.viz.overlay import (
+    simple_colors, golden_colors, overlay_masks, draw_boxes, depth_map_figure)
+from lidar_object_detection_tpu.viz.export import (
+    write_ply, export_fusion_scene, box_edges, show_open3d)
+
+__all__ = ["simple_colors", "golden_colors", "overlay_masks", "draw_boxes",
+           "depth_map_figure", "write_ply", "export_fusion_scene",
+           "box_edges", "show_open3d"]

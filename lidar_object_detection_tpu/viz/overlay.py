@@ -1,0 +1,103 @@
+"""Host-side 2D visualization -- never on the hot path (SURVEY.md sec. 7.7).
+
+Replaces the reference's OpenCV drawing (``image_segmentation`` overlay at
+V1_BBox_Pointwise_filtering.py:77-89) and the matplotlib depth-map figures
+(seg_with_pointcloud.py:173-194) with pure-NumPy compositing + PIL writes,
+so the viz layer has no native-GUI dependency.  Colors follow the
+reference's generators: the simple ``(i*60, i*120, i*180) % 255`` BGR tuples
+(V1:75) and V5's golden-angle HSV palette (V5:88-121).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def simple_colors(n: int) -> List[Tuple[int, int, int]]:
+    """V1's color table (BGR, like the reference; V1:75)."""
+    return [(int(i * 60) % 255, int(i * 120) % 255, int(i * 180) % 255)
+            for i in range(n)]
+
+
+def golden_colors(n: int) -> List[Tuple[int, int, int]]:
+    """V5's golden-angle HSV palette in BGR (V5:88-121)."""
+    out = []
+    for i in range(n):
+        hue = (i * 137.508) % 360
+        sat = 0.8 + (i % 3) * 0.1
+        val = 0.8 + (i % 2) * 0.2
+        h_i = int(hue / 60) % 6
+        f = (hue / 60) - h_i
+        p = val * (1 - sat)
+        q = val * (1 - f * sat)
+        t = val * (1 - (1 - f) * sat)
+        r, g, b = [(val, t, p), (q, val, p), (p, val, t),
+                   (p, q, val), (t, p, val), (val, p, q)][h_i]
+        out.append((int(b * 255), int(g * 255), int(r * 255)))
+    return out
+
+
+def overlay_masks(image: np.ndarray, masks: np.ndarray,
+                  colors: Optional[Sequence[Tuple[int, int, int]]] = None,
+                  alpha: float = 0.4) -> np.ndarray:
+    """Blend instance masks over an RGB uint8 image
+    (``cv2.addWeighted(img, 1.0, color_mask, alpha, 0)`` semantics, V1:83)."""
+    out = image.astype(np.float32)
+    if colors is None:
+        colors = simple_colors(masks.shape[0])
+    for mask, bgr in zip(masks, colors):
+        rgb = np.asarray(bgr[::-1], np.float32)
+        m = mask > 0.5
+        out[m] = np.clip(out[m] + alpha * rgb, 0, 255)
+    return out.astype(np.uint8)
+
+
+def draw_boxes(image: np.ndarray, boxes: np.ndarray,
+               colors: Optional[Sequence[Tuple[int, int, int]]] = None,
+               thickness: int = 2) -> np.ndarray:
+    """Rectangle outlines on an RGB uint8 image."""
+    out = image.copy()
+    h, w = out.shape[:2]
+    if colors is None:
+        colors = simple_colors(len(boxes))
+    for (x1, y1, x2, y2), bgr in zip(np.asarray(boxes, int), colors):
+        rgb = np.asarray(bgr[::-1], np.uint8)
+        x1, x2 = np.clip([x1, x2], 0, w - 1)
+        y1, y2 = np.clip([y1, y2], 0, h - 1)
+        for t in range(thickness):
+            xa, ya = max(x1 - t, 0), max(y1 - t, 0)
+            xb, yb = min(x2 + t, w - 1), min(y2 + t, h - 1)
+            out[ya, xa:xb + 1] = rgb
+            out[yb, xa:xb + 1] = rgb
+            out[ya:yb + 1, xa] = rgb
+            out[ya:yb + 1, xb] = rgb
+    return out
+
+
+def depth_map_figure(depth_map: np.ndarray, seg_image: np.ndarray,
+                     car_id: int, frame_id: int, save_path: str) -> None:
+    """The per-car depth-map export figure (seg_with_pointcloud.py:173-194):
+    jet-colormapped depth panel + depth overlaid on the segmented image,
+    saved as ``{frame:010d},depth_map_car_{id:02d}_.png``-style files."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cm = plt.get_cmap("jet")
+    dm_max = depth_map.max()
+    depth_image = cm(depth_map / dm_max)[..., :3] if dm_max > 0 else \
+        np.zeros((*depth_map.shape, 3))
+    blended = seg_image.astype(np.float64) / 255.0
+    blended[depth_map > 0] = depth_image[depth_map > 0]
+
+    fig, axs = plt.subplots(2, 1, figsize=(18, 12))
+    axs[0].imshow(depth_map, cmap="jet")
+    axs[0].set_title(f"Depth Map - Car {car_id} (Frame {frame_id})")
+    axs[0].axis("off")
+    axs[1].imshow(blended)
+    axs[1].set_title("Depth Overlaid on Segmented Image")
+    axs[1].axis("off")
+    fig.savefig(save_path, bbox_inches="tight", dpi=150, transparent=True)
+    plt.close(fig)

@@ -149,6 +149,16 @@ def test_hungarian_matches_scipy_cost(rng, n):
         assert np.isclose(got, want, atol=1e-5), (trial, got, want)
 
 
+@pytest.mark.parametrize("r,c", [(3, 10), (8, 8), (1, 5), (32, 384)])
+def test_hungarian_rectangular_matches_scipy(rng, r, c):
+    cost = rng.random((r, c)).astype(np.float32)
+    col4row = np.asarray(hungarian(jnp.asarray(cost)))
+    assert len(set(col4row.tolist())) == r      # distinct columns
+    rows, cols = scipy_opt.linear_sum_assignment(cost)
+    got = cost[np.arange(r), col4row].sum()
+    assert np.isclose(got, cost[rows, cols].sum(), atol=1e-4)
+
+
 def test_hungarian_with_masks(rng):
     # 3 real rows, 5 real cols inside an 8x8 padded problem
     n, d, g = 8, 3, 5

@@ -1,0 +1,123 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_object_detection_tpu.config import FusionConfig, PipelineVersion
+from lidar_object_detection_tpu.fusion import FusionParams, fuse_frame
+from lidar_object_detection_tpu.models.stub import StubDetector
+from lidar_object_detection_tpu.models.yolo.model import YoloConfig
+from lidar_object_detection_tpu.parallel import (
+    make_mesh, point_sharded_fuse_frame, sharded_fuse_batch, YoloTrainer,
+    param_shardings)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return make_mesh(model_parallel=2)    # 4 x 2 (data, model)
+
+
+@pytest.fixture(scope="module")
+def frame_inputs(dataset):
+    cfg = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    params = FusionParams.from_config(cfg)
+    recs = dataset.load_frames([100, 250, 360, 570])
+    batch = dataset.make_batch(recs)
+    det = StubDetector(dataset.camera).detect_records(recs)
+    calib = (dataset.transforms.velo_to_rect.astype(np.float32),
+             dataset.transforms.cam_to_velo.astype(np.float32),
+             dataset.camera.intrinsics.astype(np.float32))
+    return params, batch, det, calib
+
+
+def test_data_parallel_fuse_matches_single(frame_inputs, mesh8):
+    params, batch, det, calib = frame_inputs
+    arrays = (batch.points, batch.point_valid, det["mask_bits"],
+              det["det_valid"], batch.corners_cam0, batch.box_valid)
+    out_sharded = sharded_fuse_batch(mesh8, arrays, calib, params)
+
+    # single-device reference
+    from lidar_object_detection_tpu.fusion import fuse_batch
+    out_ref = fuse_batch(*[jnp.asarray(a) for a in arrays],
+                         *[jnp.asarray(c) for c in calib], params=params)
+    for key in ("total_points", "points_inside", "best_box", "matched"):
+        np.testing.assert_array_equal(np.asarray(out_sharded[key]),
+                                      np.asarray(out_ref[key]))
+    # outputs are actually sharded over the data axis
+    shard_devs = {s.device for s in out_sharded["counts"].addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_point_sharded_fuse_matches_single(frame_inputs, mesh8):
+    params, batch, det, calib = frame_inputs
+    i = 0
+    out_ps = point_sharded_fuse_frame(
+        mesh8, jnp.asarray(batch.points[i]), jnp.asarray(batch.point_valid[i]),
+        jnp.asarray(det["mask_bits"][i]), jnp.asarray(det["det_valid"][i]),
+        jnp.asarray(batch.corners_cam0[i]), jnp.asarray(batch.box_valid[i]),
+        *calib, params=params)
+    out_ref = fuse_frame(
+        jnp.asarray(batch.points[i]), jnp.asarray(batch.point_valid[i]),
+        jnp.asarray(det["mask_bits"][i]), jnp.asarray(det["det_valid"][i]),
+        jnp.asarray(batch.corners_cam0[i]), jnp.asarray(batch.box_valid[i]),
+        jnp.asarray(calib[0]), jnp.asarray(calib[1]), jnp.asarray(calib[2]),
+        params)
+    for key in ("counts", "total_points", "best_box", "points_inside",
+                "matched"):
+        np.testing.assert_array_equal(np.asarray(out_ps[key]),
+                                      np.asarray(out_ref[key]))
+
+
+def test_param_shardings_rule(mesh8):
+    variables = {"params": {
+        "layer0": {"conv": {"kernel": jnp.zeros((3, 3, 3, 16))},
+                   "bn": {"scale": jnp.zeros((16,))}}}}
+    sh = param_shardings(mesh8, variables)
+    kspec = sh["params"]["layer0"]["conv"]["kernel"].spec
+    assert kspec == jax.sharding.PartitionSpec(None, None, None, "model")
+    bspec = sh["params"]["layer0"]["bn"]["scale"].spec
+    assert bspec == jax.sharding.PartitionSpec()
+
+
+def test_trainer_step_runs_and_descends(mesh8):
+    cfg = YoloConfig(scale="n", num_classes=8, segment=False)
+    trainer = YoloTrainer(cfg, mesh8, image_size=(64, 64), learning_rate=5e-3)
+    rng = np.random.default_rng(0)
+    images = rng.random((4, 64, 64, 3), np.float32)
+    targets = {
+        "boxes": np.tile(np.array([[[8, 8, 40, 40], [20, 20, 60, 56]]],
+                                  np.float32), (4, 1, 1)),
+        "classes": np.tile(np.array([[2, 5]], np.int32), (4, 1)),
+        "valid": np.ones((4, 2), bool),
+    }
+    m0 = trainer.train_step(images, targets)
+    losses = [float(m0["loss"])]
+    for _ in range(4):
+        m = trainer.train_step(images, targets)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(trainer.state.step) == 5
+
+
+def test_trainer_loss_parts(mesh8):
+    from lidar_object_detection_tpu.parallel import detection_loss
+
+    lvl = [(8, 8), (4, 4), (2, 2)]
+    outputs = {
+        "box": [jnp.zeros((2, h, w, 64)) for h, w in lvl],
+        "cls": [jnp.zeros((2, h, w, 8)) for h, w in lvl],
+    }
+    targets = {
+        "boxes": jnp.asarray(np.tile([[10.0, 10, 30, 30]], (2, 1, 1))),
+        "classes": jnp.full((2, 1), 3, jnp.int32),
+        "valid": jnp.ones((2, 1), bool),
+    }
+    total, parts = detection_loss(outputs, targets, 8, tuple(lvl))
+    assert np.isfinite(float(total))
+    assert set(parts) == {"cls", "box", "dfl"}
+    # zero-logit cls -> BCE log(2) per entry summed over anchors/classes
+    assert float(parts["cls"]) > 0

@@ -1,0 +1,166 @@
+"""Flax YOLOv11 structure, decode, and weight-converter tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_object_detection_tpu.models.yolo.model import (
+    REG_MAX, Yolo11, YoloConfig)
+from lidar_object_detection_tpu.models.yolo.postprocess import (
+    LetterboxSpec, PostprocessParams, letterbox_image, postprocess_single)
+from lidar_object_detection_tpu.models.yolo import weights as W
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = YoloConfig(scale="n", num_classes=80, segment=True)
+    model = Yolo11(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_channel_scaling_table():
+    x = YoloConfig(scale="x")
+    assert x.ch(64) == 96 and x.ch(128) == 192 and x.ch(256) == 384
+    assert x.ch(512) == 768 and x.ch(1024) == 768   # clamped at 512*1.5
+    n = YoloConfig(scale="n")
+    assert n.ch(64) == 16 and n.ch(1024) == 256
+    assert x.c3k and not n.c3k
+    assert x.reps(2) == 2 and n.reps(2) == 1
+
+
+def test_forward_shapes(tiny_model):
+    model, variables = tiny_model
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    out = model.apply(variables, x)
+    # strides 8/16/32 on 64x64
+    assert [b.shape[:3] for b in out["box"]] == [(2, 8, 8), (2, 4, 4), (2, 2, 2)]
+    assert all(b.shape[-1] == 4 * REG_MAX for b in out["box"])
+    assert all(c.shape[-1] == 80 for c in out["cls"])
+    assert all(m.shape[-1] == 32 for m in out["coef"])
+    assert out["proto"].shape == (2, 16, 16, 32)    # P3 upsampled 2x
+
+
+def test_letterbox_spec_kitti360():
+    spec = LetterboxSpec.build(376, 1408, 640)
+    assert (spec.dst_h, spec.dst_w) == (192, 640)
+    assert (spec.scaled_h, spec.scaled_w) == (171, 640)
+    assert spec.top == 10 and spec.left == 0
+    assert np.isclose(spec.ratio, 640 / 1408)
+    img = jnp.ones((376, 1408, 3), jnp.float32)
+    lb = letterbox_image(img, spec)
+    assert lb.shape == (192, 640, 3)
+    assert float(lb[0, 0, 0]) == pytest.approx(114 / 255)   # pad row
+    assert float(lb[10, 0, 0]) == pytest.approx(1.0)        # content row
+
+
+def test_postprocess_decode_and_masks():
+    """Craft raw outputs: one hot anchor with known ltrb distances."""
+    spec = LetterboxSpec.build(376, 1408, 640)
+    lvl = [(24, 80), (12, 40), (6, 20)]   # strides 8/16/32 on 192x640
+    nc, nm = 80, 32
+    outputs = {
+        "box": [np.zeros((h, w, 4 * REG_MAX), np.float32) for h, w in lvl],
+        "cls": [np.full((h, w, nc), -10.0, np.float32) for h, w in lvl],
+        "coef": [np.zeros((h, w, nm), np.float32) for h, w in lvl],
+        "proto": np.full((48, 160, nm), 0.0, np.float32),
+    }
+    # anchor (row 12, col 40) on level 0, stride 8: center (40.5, 12.5) cells
+    big = 30.0
+    dist_bins = np.full((4, REG_MAX), -big, np.float32)
+    dist_bins[0, 4] = big    # left = 4 cells
+    dist_bins[1, 3] = big    # top = 3
+    dist_bins[2, 5] = big    # right = 5
+    dist_bins[3, 2] = big    # bottom = 2
+    outputs["box"][0][12, 40] = dist_bins.ravel()
+    outputs["cls"][0][12, 40, 2] = 5.0            # car, sigmoid ~ 0.993
+    outputs["coef"][0][12, 40] = 1.0
+    outputs["proto"][:, :, :] = 1.0               # sigmoid(32) ~ 1 everywhere
+
+    pp = PostprocessParams(spec=spec, conf_threshold=0.25, max_detections=8)
+    out = postprocess_single(
+        {k: ([jnp.asarray(a) for a in v] if isinstance(v, list)
+             else jnp.asarray(v)) for k, v in outputs.items()}, pp)
+    det_valid = np.asarray(out["det_valid"])
+    assert det_valid[0] and not det_valid[1:].any()
+    assert np.asarray(out["scores"])[0] == pytest.approx(1 / (1 + np.exp(-5.0)))
+    # letterbox-space box: ((40.5-4)*8, (12.5-3)*8, (40.5+5)*8, (12.5+2)*8)
+    lb_box = np.array([292.0, 76.0, 364.0, 116.0])
+    expect = (lb_box - [0, 10, 0, 10]) / spec.ratio
+    np.testing.assert_allclose(np.asarray(out["boxes"])[0], expect, atol=1e-3)
+    # mask bits: bit 0 set exactly inside the (un-letterboxed) box
+    bits = np.asarray(out["mask_bits"])
+    x0, y0, x1, y1 = expect
+    assert bits[int(y0) + 2, int(x0) + 2] & 1
+    assert not bits[int(y0) - 3, int(x0) + 2] & 1
+    assert not (bits & ~np.uint32(1)).any()       # only detection 0 present
+
+
+def test_postprocess_empty():
+    spec = LetterboxSpec.build(376, 1408, 640)
+    lvl = [(24, 80), (12, 40), (6, 20)]
+    outputs = {
+        "box": [jnp.zeros((h, w, 64)) for h, w in lvl],
+        "cls": [jnp.full((h, w, 80), -10.0) for h, w in lvl],
+        "coef": [jnp.zeros((h, w, 32)) for h, w in lvl],
+        "proto": jnp.zeros((48, 160, 32)),
+    }
+    out = postprocess_single(outputs, PostprocessParams(spec=spec))
+    assert not np.asarray(out["det_valid"]).any()
+    assert not np.asarray(out["mask_bits"]).any()
+
+
+def _synthesize_torch_state_dict(variables):
+    """Inverse of the converter's mapping: flax template -> fake torch sd."""
+    sd = {}
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    rng = np.random.default_rng(0)
+    for keypath, value in flat:
+        names = tuple(getattr(k, "key", None) for k in keypath)
+        collection, *path = names
+        stem, leaf = W._flax_path_to_torch_key(tuple(path))
+        torch_key, transform = W._leaf_key_and_transform(stem, leaf, collection)
+        arr = rng.normal(size=np.shape(value)).astype(np.float32)
+        if leaf == "var":
+            arr = np.abs(arr) + 0.5
+        if leaf == "kernel" and not stem.endswith("upsample"):
+            sd[torch_key] = np.transpose(arr, (3, 2, 0, 1))
+        else:
+            sd[torch_key] = arr
+    # converter must tolerate these
+    sd[f"model.{W.HEAD_INDEX}.dfl.conv.weight"] = np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1)
+    sd["model.0.bn.num_batches_tracked"] = np.asarray(7)
+    return sd
+
+
+def test_weight_converter_roundtrip(tiny_model):
+    model, variables = tiny_model
+    sd = _synthesize_torch_state_dict(variables)
+    converted = W.convert_state_dict(sd, variables)
+    # every leaf replaced, shapes preserved, values land where expected
+    flat_a = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(converted)[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        assert np.shape(va) == np.shape(vb)
+    # spot-check a conv kernel transpose
+    k0 = sd["model.0.conv.weight"]
+    got = np.asarray(converted["params"]["layer0"]["conv"]["kernel"])
+    np.testing.assert_array_equal(got, np.transpose(k0, (2, 3, 1, 0)))
+    bn = np.asarray(converted["batch_stats"]["layer0"]["bn"]["mean"])
+    np.testing.assert_array_equal(bn, sd["model.0.bn.running_mean"])
+
+
+def test_weight_converter_detects_problems(tiny_model):
+    model, variables = tiny_model
+    sd = _synthesize_torch_state_dict(variables)
+    del sd["model.0.conv.weight"]
+    with pytest.raises(ValueError, match="missing in state dict"):
+        W.convert_state_dict(sd, variables)
+    sd2 = _synthesize_torch_state_dict(variables)
+    sd2["model.0.conv.weight"] = np.zeros((7, 3, 3, 3), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        W.convert_state_dict(sd2, variables)
