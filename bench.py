@@ -82,12 +82,14 @@ def main():
     args = (detector.variables, d_images, d_points, d_pvalid, d_corners,
             d_bvalid)
     out = end_to_end(*args)
-    jax.block_until_ready(out)
+    # NOTE: on the axon relay, block_until_ready does not actually block;
+    # a host read of a scalar is the only reliable completion barrier.
+    float(out["total_points"].sum())
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = end_to_end(*args)
-    jax.block_until_ready(out)
+    float(out["total_points"].sum())
     dt = time.perf_counter() - t0
 
     fps = iters * n_frames / dt

@@ -63,6 +63,9 @@ class FusionParams:
     # point chunks and accumulates the (D, G) counts, keeping the live
     # intermediate at chunk x 3G floats (~75 MB at the default).
     count_chunk: int = 16384
+    # "pallas" = fused VMEM-resident kernel (ops/pallas_count.py, TPU),
+    # "xla" = chunked-scan fallback, "auto" = pallas on TPU backends.
+    count_impl: str = "auto"
 
     @staticmethod
     def from_config(cfg: FusionConfig) -> "FusionParams":
@@ -161,16 +164,35 @@ def fuse_frame(points, point_valid, mask_bits, det_valid,
         mask_bits = erosion_lib.erode_packed(
             mask_bits, p.erosion_kernel_size, p.erosion_iterations)
 
-    # 5. per-point membership, all detections at once
-    car_mask = masks_lib.gather_mask_bits(
-        mask_bits, u, v, valid, p.num_detections)          # (D, P)
-    car_mask = car_mask & det_valid[:, None]
+    # 5. per-point membership as ONE packed uint32 word per point; the
+    #    (D, P) matrix is never materialized on the fast path
+    det_word = jnp.sum(
+        jnp.where(det_valid,
+                  jnp.uint32(1) << jnp.arange(p.num_detections,
+                                              dtype=jnp.uint32),
+                  jnp.uint32(0)), dtype=jnp.uint32)
+    point_bits = masks_lib.gather_point_bits(mask_bits, u, v, valid)
+    point_bits = point_bits & det_word                      # (P,) uint32
 
-    # 6. inside test + counts as chunked matmuls (memory-bounded)
-    car_f = car_mask.astype(jnp.float32)
-    counts = _chunked_inside_counts(
-        points[:, :3], car_f, corners_velo, vis, p.count_chunk)  # (D, G)
-    total = jnp.sum(car_f, axis=1)                          # (D,)
+    # 6. inside test + counts (fused Pallas kernel on TPU, chunked matmul
+    #    scan elsewhere; bit-identical -- see tests/test_pallas_count.py)
+    use_pallas = (p.count_impl == "pallas"
+                  or (p.count_impl == "auto"
+                      and jax.default_backend() == "tpu"))
+    if use_pallas and points.shape[0] % 1024 == 0:
+        from lidar_object_detection_tpu.ops.pallas_count import (
+            pallas_inside_counts_packed)
+        tile = min(4096, points.shape[0])
+        counts, total = pallas_inside_counts_packed(
+            points[:, :3].astype(jnp.float32), point_bits,
+            corners_velo.astype(jnp.float32), vis,
+            num_det=p.num_detections, tile=tile)
+    else:
+        car_f = masks_lib.unpack_point_bits(
+            point_bits, p.num_detections).astype(jnp.float32)
+        counts = _chunked_inside_counts(
+            points[:, :3], car_f, corners_velo, vis, p.count_chunk)
+        total = jnp.sum(car_f, axis=1)                      # (D,)
 
     # 7. best box: argmax == first strictly-greater winner (V2:348-351);
     #    a car only matches when max >= min_points (V1:401 gate).
@@ -185,7 +207,7 @@ def fuse_frame(points, point_valid, mask_bits, det_valid,
     return {
         "u": u, "v": v, "depth": depth, "point_valid": valid,
         "box_visible": vis, "corners_velo": corners_velo,
-        "car_mask": car_mask, "counts": counts_i,
+        "point_bits": point_bits, "counts": counts_i,
         "total_points": total_i, "best_box": best_box,
         "points_inside": inside_ct, "matched": matched,
         "eroded_mask_bits": mask_bits,

@@ -137,7 +137,7 @@ class FusionPipeline:
         elapsed = time.perf_counter() - t0
 
         fused_np = {k: np.asarray(v) for k, v in fused.items()
-                    if k not in ("car_mask", "eroded_mask_bits")}
+                    if k not in ("point_bits", "eroded_mask_bits")}
         frames: List[FrameResult] = []
         all_rows: List[stats_lib.CarStatistics] = []
         for i, rec in enumerate(records):
@@ -189,10 +189,12 @@ class FusionPipeline:
         detections = self.detect(records, batch)
         fused = self.fuse(batch, detections)
         s = self.config.shapes
+        from lidar_object_detection_tpu.ops.masks import unpack_point_bits
         dm = jax.vmap(
-            lambda u, v, d, cm, pv: scatter_depth_maps(
-                u, v, d, cm, pv, s.image_height, s.image_width))(
-            fused["u"], fused["v"], fused["depth"], fused["car_mask"],
+            lambda u, v, d, bits, pv: scatter_depth_maps(
+                u, v, d, unpack_point_bits(bits, s.max_detections), pv,
+                s.image_height, s.image_width))(
+            fused["u"], fused["v"], fused["depth"], fused["point_bits"],
             fused["point_valid"])
         dm = np.asarray(dm)
         for i, rec in enumerate(records):
