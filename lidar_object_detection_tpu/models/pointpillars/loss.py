@@ -1,0 +1,122 @@
+"""PointPillars training loss: anchor assignment + focal/smooth-L1/dir.
+
+Assignment uses BEV axis-aligned IoU between anchors and GT boxes
+(positive >= 0.6, negative < 0.45, ignore between -- the paper's car
+thresholds); classification is a focal loss over all non-ignored anchors,
+regression a smooth-L1 on the 7 encoded residuals with ``sin(dyaw)`` for
+the angle channel, plus a 2-way direction cross-entropy.  All GT lists are
+fixed-size (MAX_GT) with validity masks, so the whole loss jits and shards
+with the training step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from lidar_object_detection_tpu.geom.boxes import iou_2d_matrix
+from lidar_object_detection_tpu.models.pointpillars.decode import (
+    anchor_grid, bev_aabb, encode_boxes)
+from lidar_object_detection_tpu.models.pointpillars.model import PillarsConfig
+
+
+def assign_anchors(gt_boxes7, gt_valid, cfg: PillarsConfig,
+                   pos_iou: float = 0.6, neg_iou: float = 0.45):
+    """Per-anchor assignment for one frame.
+
+    Returns dict: matched_gt (N,) int32 (best gt per anchor), pos (N,) bool,
+    neg (N,) bool (N = H*W*A anchors).
+    """
+    anchors = anchor_grid(cfg).reshape(-1, 7)
+    a_aabb = bev_aabb(anchors)
+    g_aabb = bev_aabb(gt_boxes7)
+    iou = iou_2d_matrix(a_aabb, g_aabb)              # (N, G)
+    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+    best_iou = jnp.max(iou, axis=1)
+    matched = jnp.argmax(iou, axis=1).astype(jnp.int32)
+    pos = best_iou >= pos_iou
+    # force-match: the best anchor of every valid gt is positive (standard
+    # lowest-quality fallback so no gt goes unassigned)
+    best_anchor = jnp.argmax(iou, axis=0)            # (G,)
+    force = jnp.zeros(anchors.shape[0], bool).at[best_anchor].set(
+        gt_valid & (jnp.max(iou, axis=0) > 0))
+    matched = jnp.where(force, jnp.argmax(jnp.where(
+        force[:, None], iou, -1.0), axis=1).astype(jnp.int32), matched)
+    pos = pos | force
+    neg = (best_iou < neg_iou) & ~pos
+    return {"matched": matched, "pos": pos, "neg": neg}
+
+
+def focal_loss(logits, labels, alpha: float = 0.25, gamma: float = 2.0):
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    p_t = p * labels + (1 - p) * (1 - labels)
+    a_t = alpha * labels + (1 - alpha) * (1 - labels)
+    return a_t * (1 - p_t) ** gamma * ce
+
+
+def smooth_l1(x, beta: float = 1.0 / 9.0):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def pointpillars_loss(outputs, gt_boxes7, gt_classes, gt_valid,
+                      cfg: PillarsConfig,
+                      cls_weight: float = 1.0, box_weight: float = 2.0,
+                      dir_weight: float = 0.2) -> Dict[str, jnp.ndarray]:
+    """Batched loss.
+
+    Args:
+      outputs: dict(cls (B, H, W, A, nc), box (B, H, W, A, 7),
+        dir (B, H, W, A, 2)).
+      gt_boxes7: (B, MAX_GT, 7); gt_classes: (B, MAX_GT) int32;
+      gt_valid: (B, MAX_GT) bool.
+    """
+    b = outputs["cls"].shape[0]
+    nc = cfg.num_classes
+    anchors = anchor_grid(cfg).reshape(-1, 7)
+    n = anchors.shape[0]
+
+    cls_logits = outputs["cls"].reshape(b, n, nc).astype(jnp.float32)
+    box_deltas = outputs["box"].reshape(b, n, 7).astype(jnp.float32)
+    dir_logits = outputs["dir"].reshape(b, n, 2).astype(jnp.float32)
+
+    assign = jax.vmap(lambda g, v: assign_anchors(g, v, cfg))(
+        gt_boxes7, gt_valid)
+    pos = assign["pos"]                                   # (B, N)
+    neg = assign["neg"]
+    matched = assign["matched"]
+
+    gt_per_anchor = jnp.take_along_axis(
+        gt_boxes7, matched[..., None].astype(jnp.int32), axis=1)  # (B, N, 7)
+    cls_per_anchor = jnp.take_along_axis(gt_classes, matched, axis=1)
+
+    # --- classification: focal over pos+neg anchors ---
+    labels = (jax.nn.one_hot(cls_per_anchor, nc)
+              * pos[..., None].astype(jnp.float32))
+    weights = (pos | neg).astype(jnp.float32)[..., None]
+    num_pos = jnp.maximum(jnp.sum(pos), 1)
+    cls_loss = jnp.sum(focal_loss(cls_logits, labels) * weights) / num_pos
+
+    # --- regression on positives (sin for the yaw channel) ---
+    targets = encode_boxes(gt_per_anchor, anchors[None])
+    diff = box_deltas - targets
+    diff = diff.at[..., 6].set(jnp.sin(diff[..., 6]))
+    box_loss = jnp.sum(
+        jnp.sum(smooth_l1(diff), -1) * pos.astype(jnp.float32)) / num_pos
+
+    # --- direction: gt yaw in (-pi/2, pi/2] of the anchor frame -> class ---
+    dyaw = gt_per_anchor[..., 6] - anchors[None, :, 6]
+    dir_target = (jnp.remainder(dyaw + jnp.pi, 2 * jnp.pi) - jnp.pi)
+    dir_cls = (jnp.abs(dir_target) > jnp.pi / 2).astype(jnp.int32)
+    dir_ce = -jax.nn.log_softmax(dir_logits)[
+        jnp.arange(b)[:, None], jnp.arange(n)[None, :], dir_cls]
+    dir_loss = jnp.sum(dir_ce * pos.astype(jnp.float32)) / num_pos
+
+    total = (cls_weight * cls_loss + box_weight * box_loss
+             + dir_weight * dir_loss)
+    return {"loss": total, "cls": cls_loss, "box": box_loss,
+            "dir": dir_loss, "num_pos": num_pos}

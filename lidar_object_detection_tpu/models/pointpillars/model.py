@@ -1,0 +1,155 @@
+"""PointPillars network in Flax (NHWC).
+
+Pillar feature net (per-point linear + BN + ReLU, pillar max-pool), the
+2D conv backbone (3 down blocks + 3 transposed-conv up branches concat),
+and the SSD detection head (class / 7-dof box / direction per anchor) --
+the architecture of Lang et al. 2019, sized by the standard car config.
+The voxelization lives in :mod:`.voxelize` (dense scatter, no ragged pillar
+lists); end to end the model is one jittable NHWC program: scatter ->
+convs (MXU) -> per-cell heads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lidar_object_detection_tpu.models.pointpillars.voxelize import (
+    PillarGridConfig, point_features, scatter_bev)
+
+
+@dataclasses.dataclass(frozen=True)
+class PillarsConfig:
+    grid: PillarGridConfig = PillarGridConfig()
+    embed_dim: int = 64
+    backbone_channels: Tuple[int, ...] = (64, 128, 256)
+    backbone_layers: Tuple[int, ...] = (3, 5, 5)
+    up_channels: int = 128
+    num_classes: int = 1          # car
+    num_anchors: int = 2          # 0 / 90 degree anchor rotations
+    # anchor geometry (w, l, h, z-center) -- KITTI car anchor
+    anchor_size: Tuple[float, float, float] = (1.6, 3.9, 1.56)
+    anchor_z: float = -1.0
+
+    @property
+    def out_stride(self) -> int:
+        return 2   # head runs at stride-2 BEV resolution
+
+
+class ConvBN(nn.Module):
+    out: int
+    k: int = 3
+    s: int = 1
+    transpose: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.transpose:
+            x = nn.ConvTranspose(self.out, (self.k, self.k),
+                                 strides=(self.s, self.s), use_bias=False,
+                                 dtype=self.dtype, name="conv")(x)
+        else:
+            p = self.k // 2
+            x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
+                        padding=[(p, p), (p, p)], use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class PillarFeatureNet(nn.Module):
+    """Per-point linear + BN + ReLU, then pillar max-pool to dense BEV.
+
+    Batched without vmap: (B, P) points flatten onto one axis and the
+    scatter uses per-frame pillar-id offsets (see voxelize.point_features).
+    """
+
+    cfg: PillarsConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, valid, train: bool = False):
+        grid = self.cfg.grid
+        b, p = points.shape[0], points.shape[1]
+        flat_pts = points.reshape(b * p, points.shape[-1])
+        flat_valid = valid.reshape(b * p)
+        feats, ids, in_grid = point_features(flat_pts, flat_valid, grid,
+                                             batch=b)
+        x = nn.Dense(self.cfg.embed_dim, use_bias=False, dtype=self.dtype,
+                     name="linear")(feats.astype(self.dtype))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        x = nn.relu(x)
+        return scatter_bev(x.astype(jnp.float32), ids, in_grid, grid,
+                           batch=b)
+
+
+class Backbone2D(nn.Module):
+    """Top-down conv pyramid + upsampled concat (PointPillars section 2.2)."""
+
+    cfg: PillarsConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        ups = []
+        strides = (2, 2, 2)
+        up_strides = (1, 2, 4)
+        for b, (ch, n_layers) in enumerate(zip(cfg.backbone_channels,
+                                               cfg.backbone_layers)):
+            x = ConvBN(ch, 3, strides[b], dtype=self.dtype,
+                       name=f"block{b}_down")(x, train)
+            for i in range(n_layers):
+                x = ConvBN(ch, 3, 1, dtype=self.dtype,
+                           name=f"block{b}_conv{i}")(x, train)
+            up = ConvBN(cfg.up_channels, up_strides[b],
+                        up_strides[b] if up_strides[b] > 1 else 1,
+                        transpose=up_strides[b] > 1, dtype=self.dtype,
+                        name=f"up{b}")(x, train)
+            ups.append(up)
+        return jnp.concatenate(ups, axis=-1)
+
+
+class SSDHead(nn.Module):
+    cfg: PillarsConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        a, nc = cfg.num_anchors, cfg.num_classes
+        cls = nn.Conv(a * nc, (1, 1), dtype=self.dtype, name="cls")(x)
+        box = nn.Conv(a * 7, (1, 1), dtype=self.dtype, name="box")(x)
+        direction = nn.Conv(a * 2, (1, 1), dtype=self.dtype, name="dir")(x)
+        h, w = x.shape[-3], x.shape[-2]
+        return {
+            "cls": cls.reshape(*cls.shape[:-3], h, w, a, nc),
+            "box": box.reshape(*box.shape[:-3], h, w, a, 7),
+            "dir": direction.reshape(*direction.shape[:-3], h, w, a, 2),
+        }
+
+
+class PointPillars(nn.Module):
+    """Full network: padded scans (B, P, 4) + masks -> per-anchor raw heads.
+
+    Decoding (anchors, sigmoid, NMS) lives in :mod:`.decode`.
+    """
+
+    cfg: PillarsConfig = PillarsConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, valid, train: bool = False):
+        if points.ndim == 2:
+            points, valid = points[None], valid[None]
+        bev = PillarFeatureNet(self.cfg, dtype=self.dtype, name="pfn")(
+            points, valid, train)
+        x = Backbone2D(self.cfg, dtype=self.dtype, name="backbone")(
+            bev.astype(self.dtype), train)
+        return SSDHead(self.cfg, dtype=self.dtype, name="head")(x)

@@ -1,0 +1,140 @@
+"""Pure-LiDAR 3D detection pipeline (PointPillars) -- the stretch path of
+BASELINE.json configs[4]: replaces the 2D-camera detector with a voxelized
+conv backbone over the raw Velodyne scans.
+
+Provides training on the bundled KITTI-360 sample (GT 7-dof boxes derived
+from the corner annotations via ``corners_to_boxes7``) and batched
+inference with BEV-NMS decoding.  Matching against GT for evaluation uses
+BEV IoU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_object_detection_tpu.config import ShapeConfig
+from lidar_object_detection_tpu.data.kitti360 import Kitti360Dataset
+from lidar_object_detection_tpu.geom.boxes import (iou_2d_matrix,
+                                                   transform_corners)
+from lidar_object_detection_tpu.models.pointpillars import (
+    PillarsConfig, PillarsTrainer, bev_aabb, corners_to_boxes7,
+    decode_predictions)
+from lidar_object_detection_tpu.parallel.mesh import make_mesh
+
+
+MAX_GT = 64
+
+
+def load_training_batch(dataset: Kitti360Dataset,
+                        frame_ids: Optional[Sequence[int]] = None):
+    """Frames + velodyne-frame 7-dof GT boxes, fixed shapes."""
+    records = dataset.load_frames(frame_ids, require_image=False)
+    batch = dataset.make_batch(records)
+    b = batch.batch_size
+    gt = np.zeros((b, MAX_GT, 7), np.float32)
+    gt_cls = np.zeros((b, MAX_GT), np.int32)
+    gt_valid = np.zeros((b, MAX_GT), bool)
+    cam_to_velo = dataset.transforms.cam_to_velo.astype(np.float32)
+    for i, rec in enumerate(records):
+        corners_velo = np.asarray(transform_corners(
+            jnp.asarray(rec.corners_cam0.astype(np.float32)),
+            jnp.asarray(cam_to_velo)))
+        boxes7 = np.asarray(corners_to_boxes7(corners_velo))
+        g = min(len(boxes7), MAX_GT)
+        gt[i, :g] = boxes7[:g]
+        gt_valid[i, :g] = True
+    return batch, gt, gt_cls, gt_valid
+
+
+@dataclasses.dataclass
+class PillarsEvalResult:
+    matched: int
+    total_gt: int
+    total_det: int
+
+    @property
+    def recall(self) -> float:
+        return self.matched / self.total_gt if self.total_gt else 0.0
+
+    @property
+    def precision(self) -> float:
+        return self.matched / self.total_det if self.total_det else 0.0
+
+
+def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5):
+    """Greedy BEV-IoU matching of decoded detections against GT."""
+    matched = 0
+    total_det = 0
+    total_gt = int(np.asarray(gt_valid).sum())
+    det_boxes = np.asarray(det["boxes7"])
+    det_ok = np.asarray(det["valid"])
+    gt_ok = np.asarray(gt_valid)
+    gt_np = np.asarray(gt_boxes7)
+    if det_ok.any() and gt_ok.any():
+        d_aabb = np.asarray(bev_aabb(jnp.asarray(det_boxes[det_ok])))
+        g_aabb = np.asarray(bev_aabb(jnp.asarray(gt_np[gt_ok])))
+        iou = np.asarray(iou_2d_matrix(jnp.asarray(d_aabb),
+                                       jnp.asarray(g_aabb)))
+        used = np.zeros(iou.shape[1], bool)
+        total_det = int(det_ok.sum())
+        for d in range(iou.shape[0]):
+            g = int(np.argmax(np.where(used, -1.0, iou[d])))
+            if iou[d, g] >= iou_threshold and not used[g]:
+                used[g] = True
+                matched += 1
+    else:
+        total_det = int(det_ok.sum())
+    return PillarsEvalResult(matched=matched, total_gt=total_gt,
+                             total_det=total_det)
+
+
+def train_pointpillars(dataset_root: str, steps: int = 50,
+                       frame_ids: Optional[Sequence[int]] = None,
+                       cfg: Optional[PillarsConfig] = None,
+                       learning_rate: float = 2e-3,
+                       batch_frames: int = 4,
+                       log_every: int = 10,
+                       checkpoint_dir: Optional[str] = None) -> Dict:
+    """Train on the bundled sample (an overfit/regression harness, not a
+    full KITTI training run -- the sample has 19 frames)."""
+    cfg = cfg or PillarsConfig()
+    shapes = ShapeConfig()
+    ds = Kitti360Dataset(dataset_root, shapes=shapes)
+    batch, gt, gt_cls, gt_valid = load_training_batch(ds, frame_ids)
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = PillarsTrainer(cfg, mesh, num_points=shapes.max_points,
+                             learning_rate=learning_rate)
+
+    n = batch.batch_size
+    history: List[float] = []
+    for step in range(steps):
+        sel = [(step * batch_frames + j) % n for j in range(batch_frames)]
+        metrics = trainer.train_step(
+            batch.points[sel], batch.point_valid[sel], gt[sel],
+            gt_cls[sel], gt_valid[sel])
+        loss = float(metrics["loss"])
+        history.append(loss)
+        if log_every and step % log_every == 0:
+            print(f"step {step}: loss={loss:.4f} "
+                  f"cls={float(metrics['cls']):.4f} "
+                  f"box={float(metrics['box']):.4f} "
+                  f"num_pos={int(metrics['num_pos'])}")
+    if checkpoint_dir:
+        from lidar_object_detection_tpu.parallel.checkpoint import (
+            CheckpointManager)
+        CheckpointManager(checkpoint_dir).save(steps, trainer.state)
+
+    # eval on the training frames (overfit sanity)
+    out = trainer.apply(batch.points[:batch_frames],
+                        batch.point_valid[:batch_frames])
+    results = []
+    for i in range(batch_frames):
+        one = jax.tree_util.tree_map(lambda x: x[i], out)
+        det = decode_predictions(one, cfg, score_threshold=0.3)
+        results.append(evaluate_bev(det, gt[i], gt_valid[i]))
+    return {"loss_history": history, "trainer": trainer, "eval": results}

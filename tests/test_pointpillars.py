@@ -1,0 +1,169 @@
+"""PointPillars: voxelization oracle parity, encode/decode round trip,
+assignment, loss descent, end-to-end decode on the real fixture."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_object_detection_tpu.models.pointpillars import (
+    PillarGridConfig, PillarsConfig, PillarsTrainer, PointPillars,
+    anchor_grid, assign_anchors, bev_aabb, corners_to_boxes7, decode_boxes,
+    decode_predictions, encode_boxes, pillar_ids, point_features,
+    pointpillars_loss, scatter_bev)
+
+TINY_GRID = PillarGridConfig(x_range=(0.0, 20.48), y_range=(-10.24, 10.24),
+                             pillar_size=0.32)
+TINY = PillarsConfig(grid=TINY_GRID, embed_dim=16,
+                     backbone_channels=(16, 32, 64),
+                     backbone_layers=(1, 1, 1), up_channels=16)
+
+
+def test_grid_dims():
+    assert (TINY_GRID.nx, TINY_GRID.ny) == (64, 64)
+    std = PillarGridConfig()
+    assert (std.nx, std.ny) == (432, 496)
+
+
+def test_pillar_ids_oracle(rng):
+    pts = rng.uniform(-15, 25, (500, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-4, 2, 500)     # mostly inside the z range
+    valid = rng.random(500) > 0.1
+    ids, in_grid = pillar_ids(jnp.asarray(pts), jnp.asarray(valid), TINY_GRID)
+    ids, in_grid = np.asarray(ids), np.asarray(in_grid)
+    g = TINY_GRID
+    for i in range(500):
+        x, y, z = pts[i, :3]
+        ix = int(np.floor((x - g.x_range[0]) / g.pillar_size))
+        iy = int(np.floor((y - g.y_range[0]) / g.pillar_size))
+        ok = (valid[i] and 0 <= ix < g.nx and 0 <= iy < g.ny
+              and g.z_range[0] <= z <= g.z_range[1])
+        assert in_grid[i] == ok
+        if ok:
+            assert ids[i] == iy * g.nx + ix
+    assert in_grid.sum() > 50
+
+
+def test_point_features_means(rng):
+    # two points in the same pillar: mean offsets are symmetric
+    g = TINY_GRID
+    pts = np.array([[1.00, 0.10, -1.0, 0.5],
+                    [1.10, 0.20, -1.2, 0.3]], np.float32)
+    feats, ids, in_grid = point_features(
+        jnp.asarray(pts), jnp.ones(2, bool), g)
+    feats = np.asarray(feats)
+    assert np.asarray(in_grid).all()
+    assert np.asarray(ids)[0] == np.asarray(ids)[1]
+    np.testing.assert_allclose(feats[0, 4:7], -feats[1, 4:7], atol=1e-6)
+    # center offsets within +/- half pillar
+    assert np.all(np.abs(feats[:, 7:9]) <= g.pillar_size / 2 + 1e-6)
+
+
+def test_scatter_bev_max(rng):
+    g = TINY_GRID
+    pts = np.array([[1.0, 0.1, -1.0, 0.0], [1.05, 0.15, -1.0, 0.0],
+                    [5.0, 5.0, -1.0, 0.0]], np.float32)
+    feats, ids, in_grid = point_features(jnp.asarray(pts),
+                                         jnp.ones(3, bool), g)
+    emb = jnp.asarray(np.array([[1.0, 2.0], [3.0, 0.5], [7.0, 7.0]],
+                               np.float32))
+    bev = np.asarray(scatter_bev(emb, ids, in_grid, g))[0]
+    iy0, ix0 = divmod(int(np.asarray(ids)[0]), g.nx)
+    np.testing.assert_allclose(bev[iy0, ix0], [3.0, 2.0])  # per-channel max
+    assert bev.sum() == pytest.approx(3 + 2 + 7 + 7)
+
+
+def test_encode_decode_roundtrip(rng):
+    cfg = TINY
+    anchors = np.asarray(anchor_grid(cfg)).reshape(-1, 7)
+    idx = rng.integers(0, len(anchors), 50)
+    gt = anchors[idx].copy()
+    gt[:, :3] += rng.normal(0, 1.0, (50, 3))
+    gt[:, 3:6] *= rng.uniform(0.8, 1.2, (50, 3))
+    gt[:, 6] += rng.uniform(-0.5, 0.5, 50)
+    enc = encode_boxes(jnp.asarray(gt), jnp.asarray(anchors[idx]))
+    dec = np.asarray(decode_boxes(enc, jnp.asarray(anchors[idx])))
+    np.testing.assert_allclose(dec, gt, rtol=1e-5, atol=1e-5)
+
+
+def test_corners_to_boxes7(dataset, frame100):
+    from lidar_object_detection_tpu.geom.boxes import transform_corners
+
+    corners_velo = np.asarray(transform_corners(
+        jnp.asarray(frame100.corners_cam0),
+        jnp.asarray(dataset.transforms.cam_to_velo)))
+    boxes7 = np.asarray(corners_to_boxes7(corners_velo))
+    # car-sized boxes
+    assert (boxes7[:, 3] > 0.5).all() and (boxes7[:, 3] < 4).all()
+    assert (boxes7[:, 4] > 1.0).all() and (boxes7[:, 4] < 8).all()
+    assert (boxes7[:, 5] > 0.5).all() and (boxes7[:, 5] < 4).all()
+    # reconstruct corners from box7 -> same AABB as original
+    b = boxes7[0]
+    aabb = np.asarray(bev_aabb(jnp.asarray(boxes7)))[0]
+    assert aabb[0] < b[0] < aabb[2] and aabb[1] < b[1] < aabb[3]
+
+
+def test_assignment_finds_gt(rng):
+    cfg = TINY
+    anchors = np.asarray(anchor_grid(cfg)).reshape(-1, 7)
+    gt = np.zeros((4, 7), np.float32)
+    gt[0] = anchors[100]            # exact anchor match
+    gt[1] = anchors[500]
+    gt_valid = np.array([True, True, False, False])
+    out = assign_anchors(jnp.asarray(gt), jnp.asarray(gt_valid), cfg)
+    pos = np.asarray(out["pos"])
+    matched = np.asarray(out["matched"])
+    assert pos[100] and matched[100] == 0
+    assert pos[500] and matched[500] == 1
+    assert pos.sum() >= 2
+    assert np.asarray(out["neg"]).sum() > len(anchors) * 0.9
+
+
+def test_forward_shapes_and_loss_descends(rng):
+    cfg = TINY
+    from lidar_object_detection_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:2], model_parallel=1)
+    trainer = PillarsTrainer(cfg, mesh, num_points=2048, learning_rate=3e-3)
+
+    pts = rng.uniform(0, 20, (2, 2048, 4)).astype(np.float32)
+    pts[..., 1] -= 10
+    pts[..., 2] = rng.uniform(-2, 0, (2, 2048))
+    valid = np.ones((2, 2048), bool)
+    gt = np.zeros((2, 8, 7), np.float32)
+    gt[:, 0] = [10.0, 0.0, -1.0, 1.6, 3.9, 1.56, 0.3]
+    gt[:, 1] = [5.0, -3.0, -1.0, 1.6, 3.9, 1.56, -1.2]
+    gt_cls = np.zeros((2, 8), np.int32)
+    gt_valid = np.zeros((2, 8), bool)
+    gt_valid[:, :2] = True
+
+    out = trainer.apply(pts, valid)
+    h, w = cfg.grid.ny // 2, cfg.grid.nx // 2
+    assert out["cls"].shape == (2, h, w, 2, 1)
+    assert out["box"].shape == (2, h, w, 2, 7)
+    assert out["dir"].shape == (2, h, w, 2, 2)
+
+    losses = [float(trainer.train_step(pts, valid, gt, gt_cls, gt_valid)["loss"])
+              for _ in range(6)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_decode_predictions_sanity():
+    cfg = TINY
+    h, w, a = cfg.grid.ny // 2, cfg.grid.nx // 2, cfg.num_anchors
+    outputs = {
+        "cls": np.full((h, w, a, 1), -9.0, np.float32),
+        "box": np.zeros((h, w, a, 7), np.float32),
+        "dir": np.zeros((h, w, a, 2), np.float32),
+    }
+    outputs["cls"][10, 12, 0, 0] = 4.0     # one confident anchor
+    det = decode_predictions({k: jnp.asarray(v) for k, v in outputs.items()},
+                             cfg, score_threshold=0.3)
+    valid = np.asarray(det["valid"])
+    assert valid.sum() == 1
+    box = np.asarray(det["boxes7"])[0]
+    anchors = np.asarray(anchor_grid(cfg))
+    np.testing.assert_allclose(box, anchors[10, 12, 0], atol=1e-5)
+    assert float(np.asarray(det["scores"])[0]) == pytest.approx(
+        1 / (1 + np.exp(-4.0)))
