@@ -120,6 +120,9 @@ class Kitti360Dataset:
     def bbox_path(self, frame_id: int) -> str:
         return os.path.join(self.bbox_dir, f"BBoxes_{frame_id}.json")
 
+    def load_bboxes_exists(self, frame_id: int) -> bool:
+        return os.path.isfile(self.bbox_path(frame_id))
+
     def load_frame(self, frame_id: int, require_boxes: bool = True,
                    require_image: bool = True) -> Optional[FrameRecord]:
         try:

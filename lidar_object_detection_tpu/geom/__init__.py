@@ -6,6 +6,7 @@ from lidar_object_detection_tpu.geom.projection import (
 from lidar_object_detection_tpu.geom.boxes import (
     transform_corners,
     corners_visibility,
+    corners_visibility_rich,
     points_in_oriented_boxes,
     points_in_aabb,
     project_boxes_to_2d,
@@ -18,6 +19,7 @@ __all__ = [
     "point_validity",
     "transform_corners",
     "corners_visibility",
+    "corners_visibility_rich",
     "points_in_oriented_boxes",
     "points_in_aabb",
     "project_boxes_to_2d",

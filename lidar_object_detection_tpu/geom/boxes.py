@@ -103,6 +103,59 @@ def corners_visibility(corners_cam0, intrinsics, width, height,
     return visible
 
 
+REASON_VALID = 0
+REASON_ALL_BEHIND = 1
+REASON_NO_INTERSECTION = 2
+REASON_TOO_SMALL = 3
+
+
+def corners_visibility_rich(corners_cam0, intrinsics, width, height,
+                            min_corners_in_view=4,
+                            depth_range=(0.1, 100.0),
+                            min_projected_area=100.0,
+                            box_mask=None):
+    """The richest reference visibility filter, ``is_bbox_in_camera_view``
+    (secondtest.py:277-359), batched: depth-range check, in-image corner
+    count with an image-intersection fallback, and a minimum projected-area
+    gate, returning both the keep mask and per-box filter-reason codes
+    (secondtest.py's filter_reasons statistics, :362-419).
+
+    Returns (keep (G,) bool, reason (G,) int32 of REASON_* codes).
+    """
+    u, v, depth = cam2image(corners_cam0, intrinsics)      # (G, 8)
+    dmin, dmax = depth_range
+    valid_depth = (depth >= dmin) & (depth <= dmax)
+    n_depth = jnp.sum(valid_depth, axis=-1)
+
+    in_image = ((u >= 0) & (u < width) & (v >= 0) & (v < height)
+                & valid_depth)
+    n_view = jnp.sum(in_image, axis=-1)
+
+    big = jnp.asarray(jnp.inf, u.dtype)
+    u_min = jnp.min(jnp.where(valid_depth, u, big), axis=-1)
+    u_max = jnp.max(jnp.where(valid_depth, u, -big), axis=-1)
+    v_min = jnp.min(jnp.where(valid_depth, v, big), axis=-1)
+    v_max = jnp.max(jnp.where(valid_depth, v, -big), axis=-1)
+    intersects = ~((u_max < 0) | (u_min >= width)
+                   | (v_max < 0) | (v_min >= height))
+    area = (u_max - u_min) * (v_max - v_min)
+
+    any_depth = n_depth > 0
+    # reference control flow: few corners in view is OK if the projected
+    # extent still intersects the image; >= 2 depth-valid corners enable
+    # the min-area gate
+    enough_view = (n_view >= min_corners_in_view) | intersects
+    big_enough = (n_depth < 2) | (area >= min_projected_area)
+    keep = any_depth & enough_view & big_enough
+    reason = jnp.where(
+        ~any_depth, REASON_ALL_BEHIND,
+        jnp.where(~enough_view, REASON_NO_INTERSECTION,
+                  jnp.where(~big_enough, REASON_TOO_SMALL, REASON_VALID)))
+    if box_mask is not None:
+        keep = keep & box_mask
+    return keep, reason.astype(jnp.int32)
+
+
 def project_boxes_to_2d(corners_cam0, intrinsics):
     """``project_3d_bbox_to_2d`` (V5:215-252) batched over boxes.
 

@@ -179,6 +179,63 @@ class FusionPipeline:
         return pairs
 
     # ------------------------------------------------------------------
+    def stream(self, frame_ids: Optional[Sequence[int]] = None,
+               chunk: int = 8, store=None):
+        """Streaming full-sequence fusion (BASELINE.json configs[4]):
+        the native threaded prefetcher reads scans ahead of the device
+        (data/native.py) while fixed-size chunks run through the jitted
+        pipeline; results flow into an idempotent MetricStore when given.
+
+        Yields (frame_id, rows) per processed frame.
+        """
+        from lidar_object_detection_tpu.data.native import ScanPrefetcher
+
+        ids = list(frame_ids) if frame_ids is not None \
+            else self.dataset.frame_ids()
+        # keep only frames with boxes (reference skip semantics)
+        ids = [f for f in ids
+               if self.dataset.load_bboxes_exists(f)]
+        s = self.config.shapes
+        paths = [self.dataset.scan_path(f) for f in ids]
+        pre = iter(ScanPrefetcher(paths, s.max_points, num_threads=2,
+                                  queue_depth=2 * chunk))
+
+        pending = []
+        done = False
+        while not done:
+            while len(pending) < chunk:
+                try:
+                    idx, pts, valid, _ = next(pre)
+                except StopIteration:
+                    done = True
+                    break
+                pending.append((ids[idx], pts, valid))
+            if not pending:
+                break
+            batch_ids = [f for f, _, _ in pending[:chunk]]
+            records = [self.dataset.load_frame(f) for f in batch_ids]
+            keep = [(f, r) for f, r in zip(batch_ids, records)
+                    if r is not None]
+            pending = pending[chunk:]
+            if not keep:
+                continue
+            batch = self.dataset.make_batch([r for _, r in keep])
+            detections = self.detect([r for _, r in keep], batch)
+            fused = self.fuse(batch, detections)
+            fused_np = {k: np.asarray(v) for k, v in fused.items()
+                        if k in ("total_points", "best_box", "points_inside",
+                                 "matched", "box_visible")}
+            for i, (fid, _) in enumerate(keep):
+                rows = stats_lib.frame_statistics(
+                    fid, fused_np["total_points"][i],
+                    fused_np["best_box"][i], fused_np["points_inside"][i],
+                    fused_np["matched"][i], detections["det_valid"][i],
+                    fused_np["box_visible"][i])
+                if store is not None:
+                    store.update_frame(fid, rows)
+                yield fid, rows
+
+    # ------------------------------------------------------------------
     def depth_maps(self, frame_ids: Optional[Sequence[int]] = None):
         """Per-car depth maps (seg_with_pointcloud.py:160-170), on device.
 

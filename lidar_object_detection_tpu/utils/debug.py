@@ -63,3 +63,17 @@ def checkify_nan_guard(fn: Callable):
         return out
 
     return wrapper
+
+
+def coordinate_ranges(points, corners=None) -> Dict[str, Any]:
+    """The reference's coordinate-system debug dump
+    (``debug_coordinate_systems``, V5_ProjectingBBoxes.py:64-85) as data:
+    min/max per axis for the cloud and optionally the first box."""
+    pts = np.asarray(points)[:, :3]
+    out = {"points": {ax: (float(pts[:, i].min()), float(pts[:, i].max()))
+                      for i, ax in enumerate("xyz")}}
+    if corners is not None and len(corners):
+        c = np.asarray(corners)[0]
+        out["bbox0"] = {ax: (float(c[:, i].min()), float(c[:, i].max()))
+                        for i, ax in enumerate("xyz")}
+    return out

@@ -130,3 +130,28 @@ def test_cli_run(kitti_root, tmp_path):
     assert ply.exists()
     head = ply.read_text().split("\n")[:3]
     assert head[0] == "ply"
+
+
+def test_streaming_fusion(kitti_root, tmp_path):
+    from lidar_object_detection_tpu.config import FusionConfig
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.eval.store import MetricStore
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+
+    cfg = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    ds = Kitti360Dataset(kitti_root, shapes=cfg.shapes)
+    pipe = FusionPipeline(ds, cfg)
+    store = MetricStore(str(tmp_path / "stream.jsonl"))
+    seen = []
+    for fid, rows in pipe.stream([100, 250, 360], chunk=2, store=store):
+        seen.append(fid)
+    assert sorted(seen) == [100, 250, 360]
+    assert store.frames == [100, 250, 360]
+    # streaming result equals the batch runner's
+    batch_run = pipe.run([100])
+    stream_rows = [r for r in store.rows() if r["frame"] == 100]
+    batch_rows = [r for r in batch_run.csv_rows if r.frame == 100]
+    assert len(stream_rows) == len(batch_rows)
+    for sr, br in zip(stream_rows, batch_rows):
+        assert sr["total_points"] == br.total_points
+        assert sr["points_inside_bbox"] == br.points_inside_bbox
