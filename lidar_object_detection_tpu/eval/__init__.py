@@ -9,6 +9,9 @@ from lidar_object_detection_tpu.eval.kitti2d import (
     monocular_distance,
     evaluate_image,
 )
+from lidar_object_detection_tpu.eval.store import MetricStore
+from lidar_object_detection_tpu.eval.erosion_study import (
+    run_erosion_study, join_runs, analyze as analyze_erosion_study)
 
 __all__ = [
     "CarStatistics",
@@ -18,4 +21,8 @@ __all__ = [
     "summarize",
     "monocular_distance",
     "evaluate_image",
+    "MetricStore",
+    "run_erosion_study",
+    "join_runs",
+    "analyze_erosion_study",
 ]

@@ -35,26 +35,31 @@ def nms(boxes, scores, valid, iou_threshold: float, max_outputs: int):
       which slots hold real detections.
     """
     n = boxes.shape[0]
-    neg = jnp.asarray(-jnp.inf, scores.dtype)
-    # Stable descending sort (ties keep original order, like torchvision).
-    order = jnp.argsort(-jnp.where(valid, scores, neg))
-    boxes_s = boxes[order]
-    alive = valid[order]
+    neg = jnp.float32(-jnp.inf)
+    # Stable descending order via scores (ties keep original order, like
+    # torchvision); implemented as an output-slot selection loop: each of
+    # the max_outputs iterations picks the best surviving candidate and
+    # suppresses its overlaps.  Sequential depth is max_outputs (e.g. 32),
+    # not the candidate count (e.g. 256) -- 8x fewer loop steps on TPU,
+    # identical results to the classic sorted sweep.
+    iou = iou_2d_matrix(boxes, boxes)
+    base = jnp.where(valid, scores.astype(jnp.float32), neg)
+    # strictly decreasing tie-break by index keeps stable order
+    tie = jnp.arange(n, dtype=jnp.float32) * jnp.float32(1e-12)
+    keyed = base - tie
 
-    iou = iou_2d_matrix(boxes_s, boxes_s)
-    idx = jnp.arange(n)
+    def body(slot, state):
+        alive, out_idx, out_valid = state
+        masked = jnp.where(alive, keyed, neg)
+        best = jnp.argmax(masked).astype(jnp.int32)
+        ok = alive[best] & (base[best] > neg)
+        out_idx = out_idx.at[slot].set(jnp.where(ok, best, 0))
+        out_valid = out_valid.at[slot].set(ok)
+        suppress = (iou[best] > iou_threshold) | (jnp.arange(n) == best)
+        alive = jnp.where(ok, alive & ~suppress, alive)
+        return alive, out_idx, out_valid
 
-    def body(i, alive):
-        suppress = alive[i] & (iou[i] > iou_threshold) & (idx > i)
-        return alive & ~suppress
-
-    alive = jax.lax.fori_loop(0, n, body, alive)
-
-    # Compact the survivors (stable: they are already score-sorted).
-    rank = jnp.cumsum(alive) - 1
-    slot = jnp.where(alive, rank, n)
-    out_idx = jnp.full((max_outputs,), 0, jnp.int32)
-    out_idx = out_idx.at[slot].set(order.astype(jnp.int32), mode="drop")
-    kept = jnp.sum(alive)
-    keep_valid = jnp.arange(max_outputs) < jnp.minimum(kept, max_outputs)
+    state = (valid, jnp.zeros((max_outputs,), jnp.int32),
+             jnp.zeros((max_outputs,), bool))
+    _, out_idx, keep_valid = jax.lax.fori_loop(0, max_outputs, body, state)
     return out_idx, keep_valid

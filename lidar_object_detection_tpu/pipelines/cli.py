@@ -64,6 +64,19 @@ def main(argv=None) -> int:
     _add_common(dm_p)
     dm_p.add_argument("--output", default="Predictions")
 
+    es_p = sub.add_parser("erosion-study",
+                          help="erosion vs no-erosion comparison (the "
+                               "reference's results workbook)")
+    _add_common(es_p)
+    es_p.add_argument("--output", default="results")
+
+    pp_p = sub.add_parser("pointpillars-train",
+                          help="train the pure-LiDAR PointPillars on the "
+                               "bundled sample")
+    _add_common(pp_p)
+    pp_p.add_argument("--steps", type=int, default=50)
+    pp_p.add_argument("--checkpoint-dir", default=None)
+
     k2_p = sub.add_parser("kitti2d", help="KITTI 2D detection eval")
     k2_p.add_argument("--dataset", required=True,
                       help="KITTI_Selection root (images/ labels/ calib/)")
@@ -71,6 +84,28 @@ def main(argv=None) -> int:
     k2_p.add_argument("--conf", type=float, default=0.5)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "erosion-study":
+        from lidar_object_detection_tpu.eval.erosion_study import (
+            run_erosion_study)
+        os.makedirs(args.output, exist_ok=True)
+        res = run_erosion_study(
+            args.dataset, frame_ids=args.frames,
+            output_csv=os.path.join(args.output, "erosion_study.csv"))
+        print("erosion study:", res.summary())
+        return 0
+
+    if args.cmd == "pointpillars-train":
+        from lidar_object_detection_tpu.pipelines.pointpillars import (
+            train_pointpillars)
+        out = train_pointpillars(args.dataset, steps=args.steps,
+                                 frame_ids=args.frames,
+                                 checkpoint_dir=args.checkpoint_dir)
+        evals = out["eval"]
+        print(f"final loss: {out['loss_history'][-1]:.4f}; eval "
+              f"recall={sum(e.matched for e in evals)}/"
+              f"{sum(e.total_gt for e in evals)}")
+        return 0
 
     if args.cmd == "kitti2d":
         from lidar_object_detection_tpu.pipelines.kitti2d import run_kitti2d_eval

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from lidar_object_detection_tpu.eval import (
     CarStatistics,
@@ -95,3 +96,39 @@ def test_evaluate_image_first_match_semantics():
     lines = ev.result_lines()
     assert lines[0].startswith("CAR ID: 1, YOLO distance:")
     assert "IoU Between YoloBB" in lines[0]
+
+
+def test_erosion_study_join_and_analyze():
+    from lidar_object_detection_tpu.eval.erosion_study import (
+        analyze, join_runs)
+
+    raw = [CarStatistics(100, 0, 1, 3000, 2550, 450, 85.0, 15.0),
+           CarStatistics(100, 1, -1, 50, 0, 50, 0.0, 100.0),     # unmatched
+           CarStatistics(110, 0, 2, 1000, 600, 400, 60.0, 40.0)]
+    ero = [CarStatistics(100, 0, 1, 2930, 2530, 400, 86.35, 13.65),
+           CarStatistics(110, 0, 2, 980, 640, 340, 65.31, 34.69),
+           CarStatistics(110, 1, 3, 200, 150, 50, 75.0, 25.0)]   # only in ero
+
+    rows = join_runs(raw, ero)
+    assert len(rows) == 2          # joined on matched-in-both
+    res = analyze(rows)
+    assert res.mean_inside_pct_eroded == pytest.approx((86.35 + 65.31) / 2)
+    assert res.mean_inside_pct_raw == pytest.approx((85.0 + 60.0) / 2)
+    # improvements: (86.35-85)/85*100, (65.31-60)/60*100
+    imp = ((86.35 - 85) / 85 * 100 + (65.31 - 60) / 60 * 100) / 2
+    assert res.mean_pct_improvement == pytest.approx(imp)
+    diffs = np.array([2530 - 2550, 640 - 600], float)
+    assert res.std_inside_point_diff == pytest.approx(diffs.std(ddof=1))
+
+
+def test_erosion_study_end_to_end(kitti_root, tmp_path):
+    from lidar_object_detection_tpu.eval.erosion_study import run_erosion_study
+
+    res = run_erosion_study(kitti_root, frame_ids=[100],
+                            output_csv=str(tmp_path / "study.csv"))
+    assert res.rows, "expected joined matched cars on frame 100"
+    s = res.summary()
+    assert 0 < s["mean_inside_pct_eroded"] <= 100
+    lines = (tmp_path / "study.csv").read_text().strip().split("\n")
+    assert lines[0].startswith("frame,car_id,total_points_raw")
+    assert len(lines) == len(res.rows) + 1
