@@ -124,8 +124,15 @@ def run_erosion_study(dataset_root: str,
     cfg_raw = FusionConfig.for_version(PipelineVersion.V2_STATS)
     cfg_ero = FusionConfig.for_version(PipelineVersion.CSV_EVAL)
     ds = Kitti360Dataset(dataset_root, shapes=cfg_raw.shapes)
-    raw = FusionPipeline(ds, cfg_raw, detector).run(frame_ids)
-    ero = FusionPipeline(ds, cfg_ero, detector).run(frame_ids)
+    pipe_raw = FusionPipeline(ds, cfg_raw, detector)
+    # detect ONCE: the two runs differ only in the erosion flag inside the
+    # fused step, so detection (the expensive half) is shared
+    records = ds.load_frames(frame_ids)
+    batch = ds.make_batch(records)
+    detections = pipe_raw.detect(records, batch)
+    raw = pipe_raw.run(frame_ids, detections=detections)
+    ero = FusionPipeline(ds, cfg_ero, detector).run(frame_ids,
+                                                    detections=detections)
     rows = join_runs(raw.csv_rows, ero.csv_rows)
     result = analyze(rows)
     if output_csv:

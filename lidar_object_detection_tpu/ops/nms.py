@@ -43,14 +43,16 @@ def nms(boxes, scores, valid, iou_threshold: float, max_outputs: int):
     # not the candidate count (e.g. 256) -- 8x fewer loop steps on TPU,
     # identical results to the classic sorted sweep.
     iou = iou_2d_matrix(boxes, boxes)
-    base = jnp.where(valid, scores.astype(jnp.float32), neg)
-    # strictly decreasing tie-break by index keeps stable order
-    tie = jnp.arange(n, dtype=jnp.float32) * jnp.float32(1e-12)
-    keyed = base - tie
+    # NaN scores (diverged training, bf16 overflow) are dropped rather than
+    # poisoning argmax; equal scores resolve to the lowest index via
+    # jnp.argmax's first-occurrence guarantee (stable order, like the old
+    # sorted sweep).
+    finite = valid & jnp.isfinite(scores)
+    base = jnp.where(finite, scores.astype(jnp.float32), neg)
 
     def body(slot, state):
         alive, out_idx, out_valid = state
-        masked = jnp.where(alive, keyed, neg)
+        masked = jnp.where(alive, base, neg)
         best = jnp.argmax(masked).astype(jnp.int32)
         ok = alive[best] & (base[best] > neg)
         out_idx = out_idx.at[slot].set(jnp.where(ok, best, 0))
@@ -59,7 +61,7 @@ def nms(boxes, scores, valid, iou_threshold: float, max_outputs: int):
         alive = jnp.where(ok, alive & ~suppress, alive)
         return alive, out_idx, out_valid
 
-    state = (valid, jnp.zeros((max_outputs,), jnp.int32),
+    state = (finite, jnp.zeros((max_outputs,), jnp.int32),
              jnp.zeros((max_outputs,), bool))
     _, out_idx, keep_valid = jax.lax.fori_loop(0, max_outputs, body, state)
     return out_idx, keep_valid

@@ -17,16 +17,18 @@ import sys
 from lidar_object_detection_tpu.config import PipelineVersion
 
 
-def _add_common(p):
+def _add_common(p, detector: bool = True):
     p.add_argument("--dataset", required=True,
                    help="KITTI-360 root (contains calibration/, data_3d_raw/...)")
     p.add_argument("--frames", type=int, nargs="*", default=None,
                    help="frame ids (default: all)")
-    p.add_argument("--detector", choices=["stub", "yolo"], default="stub",
-                   help="stub = GT-derived synthetic detections; yolo = Flax "
-                        "YOLOv11-seg (needs --weights for real accuracy)")
-    p.add_argument("--weights", default=None,
-                   help="converted state-dict file for the yolo detector")
+    if detector:
+        p.add_argument("--detector", choices=["stub", "yolo"], default="stub",
+                       help="stub = GT-derived synthetic detections; yolo = "
+                            "Flax YOLOv11-seg (needs --weights for real "
+                            "accuracy)")
+        p.add_argument("--weights", default=None,
+                       help="converted state-dict file for the yolo detector")
 
 
 def _build_detector(args, dataset):
@@ -73,7 +75,7 @@ def main(argv=None) -> int:
     pp_p = sub.add_parser("pointpillars-train",
                           help="train the pure-LiDAR PointPillars on the "
                                "bundled sample")
-    _add_common(pp_p)
+    _add_common(pp_p, detector=False)
     pp_p.add_argument("--steps", type=int, default=50)
     pp_p.add_argument("--checkpoint-dir", default=None)
 
@@ -86,11 +88,14 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.cmd == "erosion-study":
+        from lidar_object_detection_tpu.data.kitti360 import Kitti360Dataset
         from lidar_object_detection_tpu.eval.erosion_study import (
             run_erosion_study)
         os.makedirs(args.output, exist_ok=True)
+        ds = Kitti360Dataset(args.dataset)
         res = run_erosion_study(
             args.dataset, frame_ids=args.frames,
+            detector=_build_detector(args, ds),
             output_csv=os.path.join(args.output, "erosion_study.csv"))
         print("erosion study:", res.summary())
         return 0
@@ -102,7 +107,9 @@ def main(argv=None) -> int:
                                  frame_ids=args.frames,
                                  checkpoint_dir=args.checkpoint_dir)
         evals = out["eval"]
-        print(f"final loss: {out['loss_history'][-1]:.4f}; eval "
+        last = (f"{out['loss_history'][-1]:.4f}" if out["loss_history"]
+                else "n/a (0 steps)")
+        print(f"final loss: {last}; eval "
               f"recall={sum(e.matched for e in evals)}/"
               f"{sum(e.total_gt for e in evals)}")
         return 0

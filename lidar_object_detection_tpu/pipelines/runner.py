@@ -94,12 +94,14 @@ class FusionPipeline:
 
     # ------------------------------------------------------------------
     def run(self, frame_ids: Optional[Sequence[int]] = None,
-            master_csv: Optional[str] = None) -> RunResult:
+            master_csv: Optional[str] = None,
+            detections: Optional[Dict[str, np.ndarray]] = None) -> RunResult:
         records = self.dataset.load_frames(frame_ids)
         if not records:
             return RunResult([], [], 0.0, 0.0)
         batch = self.dataset.make_batch(records)
-        detections = self.detect(records, batch)
+        if detections is None:
+            detections = self.detect(records, batch)
 
         t0 = time.perf_counter()
         fused = self.fuse(batch, detections)

@@ -196,3 +196,12 @@ def test_scatter_depth_maps(rng):
             if car_mask[i, j] and valid[j]:
                 oracle[v[j], u[j]] = max(oracle[v[j], u[j]], depth[j])
         np.testing.assert_allclose(got[i], oracle)
+
+
+def test_nms_nan_scores_dropped(rng):
+    boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60], [100, 100, 110, 110.0]])
+    scores = np.array([np.nan, 0.8, 0.6])
+    idx, keep = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                    jnp.ones(3, bool), 0.5, 4)
+    got = list(np.asarray(idx)[np.asarray(keep)])
+    assert got == [1, 2]           # finite detections survive a NaN peer
