@@ -4,6 +4,7 @@ from lidar_object_detection_tpu.eval.statistics import (
     append_to_master_csv,
     analyze_master_csv,
     summarize,
+    format_summary_table,
 )
 from lidar_object_detection_tpu.eval.kitti2d import (
     monocular_distance,
@@ -19,6 +20,7 @@ __all__ = [
     "append_to_master_csv",
     "analyze_master_csv",
     "summarize",
+    "format_summary_table",
     "monocular_distance",
     "evaluate_image",
     "MetricStore",

@@ -141,6 +141,34 @@ def analyze_master_csv(path: str) -> Optional[dict]:
     return out
 
 
+def format_summary_table(rows: Sequence[CarStatistics]) -> str:
+    """The V2 summary table, reference formatting (V2:406-443)."""
+    lines = ["=" * 60, f"{'SUMMARY STATISTICS':^60}", "=" * 60]
+    matched = [r for r in rows if r.is_matched]
+    unmatched = [r for r in rows if not r.is_matched]
+    lines.append(f"Total cars detected: {len(rows)}")
+    lines.append(f"Successfully matched: {len(matched)}")
+    lines.append(f"Unmatched: {len(unmatched)}")
+    if matched:
+        lines.append("")
+        lines.append(f"{'Car ID':<8} {'BBox ID':<8} {'Total':<8} "
+                     f"{'Inside':<8} {'Outside':<8} {'Inside %':<10}")
+        lines.append("-" * 60)
+        for r in matched:
+            lines.append(f"{r.car_id:<8} {r.matched_bbox_id:<8} "
+                         f"{r.total_points:<8} {r.points_inside_bbox:<8} "
+                         f"{r.points_outside_bbox:<8} "
+                         f"{r.inside_percentage:<10.1f}")
+        total = sum(r.total_points for r in matched)
+        inside = sum(r.points_inside_bbox for r in matched)
+        outside = total - inside
+        avg = inside / total * 100 if total else 0.0
+        lines.append("-" * 60)
+        lines.append(f"{'TOTAL':<8} {'':<8} {total:<8} {inside:<8} "
+                     f"{outside:<8} {avg:<10.1f}")
+    return "\n".join(lines)
+
+
 def summarize(rows: Sequence[CarStatistics]) -> dict:
     """The V2 summary table aggregates (V2:406-443)."""
     matched = [r for r in rows if r.is_matched]

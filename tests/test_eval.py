@@ -132,3 +132,14 @@ def test_erosion_study_end_to_end(kitti_root, tmp_path):
     lines = (tmp_path / "study.csv").read_text().strip().split("\n")
     assert lines[0].startswith("frame,car_id,total_points_raw")
     assert len(lines) == len(res.rows) + 1
+
+
+def test_format_summary_table():
+    from lidar_object_detection_tpu.eval import format_summary_table
+
+    rows = [CarStatistics(1, 0, 2, 100, 80, 20, 80.0, 20.0),
+            CarStatistics(1, 1, -1, 10, 0, 10, 0.0, 100.0)]
+    table = format_summary_table(rows)
+    assert "SUMMARY STATISTICS" in table
+    assert "Successfully matched: 1" in table
+    assert "TOTAL" in table and "80.0" in table
