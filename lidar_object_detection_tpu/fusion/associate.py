@@ -52,8 +52,14 @@ class FusionParams:
     depth_max: float = 50.0
     min_points: int = 10
     bbox_filter: bool = True
+    # "simple" = filter_visible_bboxes (V1:96-115); "rich" = secondtest.py's
+    # is_bbox_in_camera_view (depth range, intersection fallback, min area)
+    bbox_filter_mode: str = "simple"
     bbox_min_visible_corners: int = 2
     bbox_corner_depth_min: float = 0.1
+    bbox_rich_depth_max: float = 100.0
+    bbox_rich_min_corners_in_view: int = 4
+    bbox_rich_min_area: float = 100.0
     erosion_enabled: bool = False
     erosion_kernel_size: int = 3
     erosion_iterations: int = 1
@@ -149,13 +155,19 @@ def fuse_frame(points, point_valid, mask_bits, det_valid,
         u, v, depth, p.width, p.height, p.depth_min, p.depth_max, point_valid)
 
     # 3. GT-box visibility + velo-frame corners
-    if p.bbox_filter:
+    if not p.bbox_filter:
+        vis = box_valid
+    elif p.bbox_filter_mode == "rich":
+        vis, _ = boxes_lib.corners_visibility_rich(
+            corners_cam0, intrinsics.astype(dtype), p.width, p.height,
+            min_corners_in_view=p.bbox_rich_min_corners_in_view,
+            depth_range=(p.bbox_corner_depth_min, p.bbox_rich_depth_max),
+            min_projected_area=p.bbox_rich_min_area, box_mask=box_valid)
+    else:
         vis = boxes_lib.corners_visibility(
             corners_cam0, intrinsics.astype(dtype), p.width, p.height,
             min_corners=p.bbox_min_visible_corners,
             depth_min=p.bbox_corner_depth_min, box_mask=box_valid)
-    else:
-        vis = box_valid
     corners_velo = boxes_lib.transform_corners(
         corners_cam0, cam_to_velo.astype(dtype))
 

@@ -39,6 +39,28 @@ def golden_colors(n: int) -> List[Tuple[int, int, int]]:
     return out
 
 
+def point_colors_from_bits(point_bits: np.ndarray, num_detections: int,
+                           colors: Optional[Sequence[Tuple[int, int, int]]] = None,
+                           background=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """Per-point RGB colors in [0, 1] from the packed membership words --
+    the vectorized replacement for the reference's O(N^2) identity loop
+    that assigns car colors to points (V1:377-395; lowest-bit detection
+    wins, matching the first-match-wins loop order).  Background points get
+    the reference's gray.
+    """
+    bits = np.asarray(point_bits)
+    if colors is None:
+        colors = simple_colors(num_detections)
+    out = np.tile(np.asarray(background, np.float64), (bits.shape[0], 1))
+    assigned = np.zeros(bits.shape[0], bool)
+    for d in range(num_detections):
+        member = ((bits >> np.uint32(d)) & 1).astype(bool) & ~assigned
+        bgr = colors[d]
+        out[member] = np.asarray([bgr[2], bgr[1], bgr[0]], np.float64) / 255.0
+        assigned |= member
+    return out
+
+
 def overlay_masks(image: np.ndarray, masks: np.ndarray,
                   colors: Optional[Sequence[Tuple[int, int, int]]] = None,
                   alpha: float = 0.4) -> np.ndarray:

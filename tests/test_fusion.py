@@ -282,3 +282,41 @@ def test_hungarian_match_runs(dataset, frame100):
     assert (np.asarray(iou)[:len(det)] > 0.99).all()
     # padding slots unmatched
     assert (midx[len(det):] == -1).all()
+
+
+def test_rich_filter_mode_in_fusion(dataset, frame100, fused):
+    """bbox_filter_mode='rich' swaps in the secondtest visibility filter."""
+    import dataclasses
+
+    out, masks, det_valid = fused
+    cfg = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    params = dataclasses.replace(FusionParams.from_config(cfg),
+                                 bbox_filter_mode="rich")
+    D = params.num_detections
+    padded = np.zeros((D, dataset.camera.height, dataset.camera.width), bool)
+    padded[:masks.shape[0]] = masks
+    G, P = 64, 131072
+    corners = np.zeros((G, 8, 3))
+    corners[:frame100.num_boxes] = frame100.corners_cam0
+    box_valid = np.zeros(G, bool)
+    box_valid[:frame100.num_boxes] = True
+    pts = np.zeros((P, 4))
+    pts[:frame100.num_points] = frame100.points
+    pmask = np.zeros(P, bool)
+    pmask[:frame100.num_points] = True
+    out_rich = fuse_frame(
+        jnp.asarray(pts), jnp.asarray(pmask),
+        jnp.asarray(pack_masks(padded)), jnp.asarray(det_valid),
+        jnp.asarray(corners), jnp.asarray(box_valid),
+        jnp.asarray(dataset.transforms.velo_to_rect),
+        jnp.asarray(dataset.transforms.cam_to_velo),
+        jnp.asarray(dataset.camera.intrinsics), params)
+    # rich filter (min-area gate) keeps a subset on this frame
+    vis_rich = np.asarray(out_rich["box_visible"])[:frame100.num_boxes]
+    from lidar_object_detection_tpu.geom.boxes import corners_visibility_rich
+    expect, _ = corners_visibility_rich(
+        jnp.asarray(corners[:frame100.num_boxes]),
+        jnp.asarray(dataset.camera.intrinsics),
+        dataset.camera.width, dataset.camera.height)
+    np.testing.assert_array_equal(vis_rich, np.asarray(expect))
+    assert vis_rich.sum() >= 1
