@@ -123,6 +123,21 @@ class Kitti360Dataset:
     def load_bboxes_exists(self, frame_id: int) -> bool:
         return os.path.isfile(self.bbox_path(frame_id))
 
+    def tight_shapes(self, multiple: int = 4096) -> ShapeConfig:
+        """ShapeConfig with max_points padded to this dataset's actual
+        largest scan (rounded up to ``multiple`` for the Pallas tiles) --
+        ~6% less gather/count work than the generic 131072 ceiling."""
+        import dataclasses
+
+        biggest = 0
+        for fid in self.frame_ids():
+            biggest = max(biggest,
+                          os.path.getsize(self.scan_path(fid)) // 16)
+        padded = ((biggest + multiple - 1) // multiple) * multiple
+        return dataclasses.replace(self.shapes,
+                                   max_points=min(padded,
+                                                  self.shapes.max_points))
+
     def load_frame(self, frame_id: int, require_boxes: bool = True,
                    require_image: bool = True) -> Optional[FrameRecord]:
         try:

@@ -58,3 +58,11 @@ def test_cam2image_semantics(kitti_root):
     u1, v1, d1 = cam.cam2image(np.array([0.0, 0.0, 10.0]))
     assert np.isscalar(u1) or u1.ndim == 0
     assert d1 == 10.0
+
+
+def test_tight_shapes(dataset):
+    s = dataset.tight_shapes()
+    assert s.max_points == 122880          # max scan 122,183 -> next 4096
+    assert s.max_points % 4096 == 0
+    batch = dataset.make_batch(dataset.load_frames([100]))
+    assert batch.points.shape[1] == 131072  # default shapes unchanged

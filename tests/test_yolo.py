@@ -164,3 +164,31 @@ def test_weight_converter_detects_problems(tiny_model):
     sd2["model.0.conv.weight"] = np.zeros((7, 3, 3, 3), np.float32)
     with pytest.raises(ValueError, match="shape mismatch"):
         W.convert_state_dict(sd2, variables)
+
+
+def test_yolo_detector_wrapper_smoke(rng):
+    """YoloDetector end to end on tiny images ('n' scale, random weights):
+    shapes, confidence ordering, packed mask consistency."""
+    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+
+    det = YoloDetector((96, 160), YoloConfig(scale="n"), conf=0.0,
+                       max_detections=8, max_candidates=32)
+    images = (rng.random((2, 96, 160, 3)) * 255).astype(np.uint8)
+    out = det.detect(images)
+    assert out["boxes"].shape == (2, 8, 4)
+    assert out["scores"].shape == (2, 8)
+    assert out["det_valid"].shape == (2, 8)
+    assert out["mask_bits"].shape == (2, 96, 160)
+    scores = np.asarray(out["scores"])
+    valid = np.asarray(out["det_valid"])
+    for b in range(2):
+        s = scores[b][valid[b]]
+        assert (np.diff(s) <= 1e-6).all()          # descending
+    boxes = np.asarray(out["boxes"])
+    assert (boxes[..., 2] >= boxes[..., 0] - 1e-3).all()
+    assert (boxes[..., 3] >= boxes[..., 1] - 1e-3).all()
+    # mask bits only where a valid detection exists
+    bits = np.asarray(out["mask_bits"])
+    for b in range(2):
+        max_bit = int(valid[b].sum())
+        assert not (bits[b] >> np.uint32(max_bit)).any()
