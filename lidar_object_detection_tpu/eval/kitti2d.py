@@ -55,6 +55,24 @@ def monocular_distance(intrinsics, boxes, camera_height: float = 1.65):
     return jnp.min(dist, axis=-1)
 
 
+def monocular_distance_bottom_center(intrinsics, boxes,
+                                     camera_height: float = 1.65):
+    """The earlier bottom-center-only distance variant (Final1.py:57-74):
+    probe a single point at (box center x, y_max) instead of the 8-point
+    minimum of :func:`monocular_distance`."""
+    boxes = jnp.asarray(boxes)
+    fx = intrinsics[0, 0]
+    fy = intrinsics[1, 1]
+    cx = intrinsics[0, 2]
+    cy = intrinsics[1, 2]
+    u = (boxes[..., 0] + boxes[..., 2]) / 2
+    v = boxes[..., 3]
+    dv = v - cy
+    z = jnp.where(dv == 0, jnp.inf, camera_height * fy / dv)
+    x = (u - cx) * z / fx
+    return jnp.sqrt(x * x + camera_height * camera_height + z * z)
+
+
 @dataclasses.dataclass
 class MatchRecord:
     car_id: int

@@ -178,6 +178,16 @@ class FusionPipeline:
             if self.config.match_strategy == MatchStrategy.POINT_COUNT:
                 pair["point_count"] = int(fused_np["points_inside"][i][det])
             pairs.append(pair)
+        if self.config.match_strategy == MatchStrategy.HUNGARIAN:
+            # V5 appends every unmatched GT box in light gray (V5:408-414)
+            matched_boxes = {p["box_index"] for p in pairs}
+            box_valid = fused_np["box_visible"][i]
+            for g in range(box_valid.shape[0]):
+                if box_valid[g] and g not in matched_boxes:
+                    pairs.append({"detection": -1, "box_index": g,
+                                  "corners_velo": corners_velo[g],
+                                  "unmatched": True,
+                                  "color": (0.7, 0.7, 0.7)})
         return pairs
 
     # ------------------------------------------------------------------

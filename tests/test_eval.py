@@ -143,3 +143,18 @@ def test_format_summary_table():
     assert "SUMMARY STATISTICS" in table
     assert "Successfully matched: 1" in table
     assert "TOTAL" in table and "80.0" in table
+
+
+def test_monocular_distance_bottom_center():
+    from lidar_object_detection_tpu.eval.kitti2d import (
+        monocular_distance_bottom_center)
+
+    K = np.array([[721.5, 0, 609.6], [0, 721.5, 172.9], [0, 0, 1.0]])
+    bbox = np.array([[500.0, 180, 600, 260]])
+    h = 1.65
+    u, v = 550.0, 260.0
+    Z = h * K[1, 1] / (v - K[1, 2])
+    X = (u - K[0, 2]) * Z / K[0, 0]
+    oracle = np.sqrt(X ** 2 + h ** 2 + Z ** 2)
+    got = float(monocular_distance_bottom_center(K, bbox)[0])
+    assert np.isclose(got, oracle, rtol=1e-12)

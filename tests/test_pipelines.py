@@ -41,11 +41,18 @@ def test_v4_greedy_and_v5_hungarian(kitti_root):
     r5 = v5_projected(kitti_root).run(FRAMES)
     # stub detections are GT projections -> nearly all should match
     n4 = sum(len(f.matched_pairs) for f in r4.frames)
-    n5 = sum(len(f.matched_pairs) for f in r5.frames)
-    assert n4 >= 1 and n5 >= 1
-    for fr in r5.frames:
-        for pair in fr.matched_pairs:
-            assert pair["score"] >= 0.3 and pair["iou"] >= 0.15
+    matched5 = [p for f in r5.frames for p in f.matched_pairs
+                if not p.get("unmatched")]
+    unmatched5 = [p for f in r5.frames for p in f.matched_pairs
+                  if p.get("unmatched")]
+    assert n4 >= 1 and len(matched5) >= 1
+    for pair in matched5:
+        assert pair["score"] >= 0.3 and pair["iou"] >= 0.15
+    # V5 renders every unmatched GT box in gray (V5:408-414)
+    assert unmatched5 and all(p["color"] == (0.7, 0.7, 0.7)
+                              for p in unmatched5)
+    total_boxes = sum(f.num_visible_boxes for f in r5.frames)
+    assert len(matched5) + len(unmatched5) == total_boxes
 
 
 def test_csv_eval_end_to_end(kitti_root, tmp_path):
