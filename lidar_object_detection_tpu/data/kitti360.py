@@ -89,6 +89,12 @@ class Kitti360Dataset:
 
     Iteration skips frames with unreadable scans / missing boxes / missing
     images, matching the reference's skip-and-continue loop (V1:318-351).
+
+    Scope notes: only the Velodyne sensor is supported (the reference's
+    ``mode='sick'`` branch, seg_with_pointcloud.py:49-54, targets SICK data
+    absent from the sample and unused by every pipeline); cameras 0/1
+    (rectified perspective) are supported -- the fisheye cams 2/3 would
+    need a fisheye projection model and have no data in the sample.
     """
 
     def __init__(self, root: str, seq: int = 0, cam_id: int = 0,

@@ -30,6 +30,11 @@ class PillarsConfig:
     up_channels: int = 128
     num_classes: int = 1          # car
     num_anchors: int = 2          # 0 / 90 degree anchor rotations
+    # BatchNorm running-average momentum: 0.9 so eval-mode statistics catch
+    # up within the short fine-tune/overfit runs this harness targets (the
+    # paper's 0.99 needs tens of thousands of steps before running stats
+    # track batch stats)
+    bn_momentum: float = 0.9
     # anchor geometry (w, l, h, z-center) -- KITTI car anchor
     anchor_size: Tuple[float, float, float] = (1.6, 3.9, 1.56)
     anchor_z: float = -1.0
@@ -44,6 +49,7 @@ class ConvBN(nn.Module):
     k: int = 3
     s: int = 1
     transpose: bool = False
+    bn_momentum: float = 0.9
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -57,7 +63,8 @@ class ConvBN(nn.Module):
             x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
                         padding=[(p, p), (p, p)], use_bias=False,
                         dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
@@ -82,7 +89,8 @@ class PillarFeatureNet(nn.Module):
                                              batch=b)
         x = nn.Dense(self.cfg.embed_dim, use_bias=False, dtype=self.dtype,
                      name="linear")(feats.astype(self.dtype))
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.cfg.bn_momentum,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
         return scatter_bev(x.astype(jnp.float32), ids, in_grid, grid,
@@ -103,14 +111,16 @@ class Backbone2D(nn.Module):
         up_strides = (1, 2, 4)
         for b, (ch, n_layers) in enumerate(zip(cfg.backbone_channels,
                                                cfg.backbone_layers)):
-            x = ConvBN(ch, 3, strides[b], dtype=self.dtype,
-                       name=f"block{b}_down")(x, train)
+            x = ConvBN(ch, 3, strides[b], bn_momentum=cfg.bn_momentum,
+                       dtype=self.dtype, name=f"block{b}_down")(x, train)
             for i in range(n_layers):
-                x = ConvBN(ch, 3, 1, dtype=self.dtype,
+                x = ConvBN(ch, 3, 1, bn_momentum=cfg.bn_momentum,
+                           dtype=self.dtype,
                            name=f"block{b}_conv{i}")(x, train)
             up = ConvBN(cfg.up_channels, up_strides[b],
                         up_strides[b] if up_strides[b] > 1 else 1,
-                        transpose=up_strides[b] > 1, dtype=self.dtype,
+                        transpose=up_strides[b] > 1,
+                        bn_momentum=cfg.bn_momentum, dtype=self.dtype,
                         name=f"up{b}")(x, train)
             ups.append(up)
         return jnp.concatenate(ups, axis=-1)
