@@ -64,10 +64,15 @@ class FusionConfig:
     depth_min: float = 0.0
     depth_max: float = 50.0
 
-    # --- GT-box visibility pre-filter (V1:96-115) ---
+    # --- GT-box visibility pre-filter (V1:96-115; "rich" =
+    #     secondtest.py:277-359's is_bbox_in_camera_view) ---
     bbox_filter_enabled: bool = True
+    bbox_filter_mode: str = "simple"
     bbox_min_visible_corners: int = 2
     bbox_corner_depth_min: float = 0.1
+    bbox_rich_depth_max: float = 100.0
+    bbox_rich_min_corners_in_view: int = 4
+    bbox_rich_min_area: float = 100.0
 
     # --- mask erosion (V3:580, cvs_erosion.py:77) ---
     erosion_enabled: bool = False

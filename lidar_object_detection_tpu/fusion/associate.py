@@ -83,8 +83,12 @@ class FusionParams:
             depth_max=cfg.depth_max,
             min_points=cfg.min_points,
             bbox_filter=cfg.bbox_filter_enabled,
+            bbox_filter_mode=cfg.bbox_filter_mode,
             bbox_min_visible_corners=cfg.bbox_min_visible_corners,
             bbox_corner_depth_min=cfg.bbox_corner_depth_min,
+            bbox_rich_depth_max=cfg.bbox_rich_depth_max,
+            bbox_rich_min_corners_in_view=cfg.bbox_rich_min_corners_in_view,
+            bbox_rich_min_area=cfg.bbox_rich_min_area,
             erosion_enabled=cfg.erosion_enabled,
             erosion_kernel_size=cfg.erosion_kernel_size,
             erosion_iterations=cfg.erosion_iterations,

@@ -99,6 +99,7 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
                        learning_rate: float = 2e-3,
                        batch_frames: int = 4,
                        log_every: int = 10,
+                       eval_score_threshold: float = 0.1,
                        checkpoint_dir: Optional[str] = None) -> Dict:
     """Train on the bundled sample (an overfit/regression harness, not a
     full KITTI training run -- the sample has 19 frames)."""
@@ -135,6 +136,9 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
     results = []
     for i in range(batch_frames):
         one = jax.tree_util.tree_map(lambda x: x[i], out)
-        det = decode_predictions(one, cfg, score_threshold=0.3)
+        # overfit-harness threshold: focal-loss confidence ramps slowly on
+        # tiny datasets; production decoding uses 0.3
+        det = decode_predictions(one, cfg,
+                                 score_threshold=eval_score_threshold)
         results.append(evaluate_bev(det, gt[i], gt_valid[i]))
     return {"loss_history": history, "trainer": trainer, "eval": results}
