@@ -41,8 +41,20 @@ def _build_detector(args, dataset):
     det = YoloDetector((dataset.camera.height, dataset.camera.width),
                        YoloConfig())
     if args.weights:
-        sd = load_state_dict_file(args.weights)
-        det.variables = convert_state_dict(sd, det.variables)
+        import os as _os
+        if _os.path.isdir(args.weights):
+            import orbax.checkpoint as ocp
+            from lidar_object_detection_tpu.parallel.checkpoint import (
+                CheckpointManager)
+            mgr = CheckpointManager(args.weights)
+            step = mgr.latest_step()
+            restored = mgr._mgr.restore(
+                step, args=ocp.args.StandardRestore(
+                    {"variables": det.variables}))
+            det.variables = restored["variables"]
+        else:
+            sd = load_state_dict_file(args.weights)
+            det.variables = convert_state_dict(sd, det.variables)
     return det
 
 
@@ -79,6 +91,15 @@ def main(argv=None) -> int:
     pp_p.add_argument("--steps", type=int, default=50)
     pp_p.add_argument("--checkpoint-dir", default=None)
 
+    cw_p = sub.add_parser("convert-weights",
+                          help="torch state dict -> orbax checkpoint for "
+                               "the Flax YOLOv11-seg")
+    cw_p.add_argument("--state-dict", required=True,
+                      help="torch-saved raw state dict (.pt)")
+    cw_p.add_argument("--output", required=True, help="orbax checkpoint dir")
+    cw_p.add_argument("--scale", default="x", choices=list("nsmlx"))
+    cw_p.add_argument("--image-shape", type=int, nargs=2, default=(376, 1408))
+
     k2_p = sub.add_parser("kitti2d", help="KITTI 2D detection eval")
     k2_p.add_argument("--dataset", required=True,
                       help="KITTI_Selection root (images/ labels/ calib/)")
@@ -86,6 +107,21 @@ def main(argv=None) -> int:
     k2_p.add_argument("--conf", type=float, default=0.5)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "convert-weights":
+        from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+        from lidar_object_detection_tpu.models.yolo.model import YoloConfig
+        from lidar_object_detection_tpu.models.yolo.weights import (
+            convert_state_dict, load_state_dict_file)
+        from lidar_object_detection_tpu.parallel.checkpoint import (
+            CheckpointManager)
+        det = YoloDetector(tuple(args.image_shape),
+                           YoloConfig(scale=args.scale))
+        sd = load_state_dict_file(args.state_dict)
+        variables = convert_state_dict(sd, det.variables)
+        CheckpointManager(args.output).save_detector_variables(variables)
+        print(f"converted {len(sd)} tensors -> {args.output}")
+        return 0
 
     if args.cmd == "erosion-study":
         from lidar_object_detection_tpu.data.kitti360 import Kitti360Dataset

@@ -162,3 +162,39 @@ def test_streaming_fusion(kitti_root, tmp_path):
     for sr, br in zip(stream_rows, batch_rows):
         assert sr["total_points"] == br.total_points
         assert sr["points_inside_bbox"] == br.points_inside_bbox
+
+
+def test_convert_weights_cli_roundtrip(tmp_path):
+    """convert-weights: synthetic state dict -> orbax -> loadable by
+    _build_detector (the --weights dir path)."""
+    import torch
+
+    from lidar_object_detection_tpu.models.yolo.model import Yolo11, YoloConfig
+    from tests.test_yolo import _synthesize_torch_state_dict
+    import jax
+    import jax.numpy as jnp
+
+    cfg = YoloConfig(scale="n")
+    model = Yolo11(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    sd = _synthesize_torch_state_dict(variables)
+    sd_path = str(tmp_path / "sd.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               sd_path)
+
+    from lidar_object_detection_tpu.pipelines.cli import main
+    rc = main(["convert-weights", "--state-dict", sd_path,
+               "--output", str(tmp_path / "ckpt"), "--scale", "n",
+               "--image-shape", "64", "64"])
+    assert rc == 0
+
+    import orbax.checkpoint as ocp
+    from lidar_object_detection_tpu.parallel.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    restored = mgr._mgr.restore(
+        mgr.latest_step(),
+        args=ocp.args.StandardRestore({"variables": variables}))
+    k = np.asarray(restored["variables"]["params"]["layer0"]["conv"]["kernel"])
+    np.testing.assert_array_equal(
+        k, np.transpose(sd["model.0.conv.weight"], (2, 3, 1, 0)))
