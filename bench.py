@@ -62,6 +62,7 @@ def main():
         (cfg.shapes.image_height, cfg.shapes.image_width),
         YoloConfig(scale=scale),
         max_detections=cfg.shapes.max_detections,
+        fast_masks=os.environ.get("BENCH_FAST_MASKS", "1") == "1",
         dtype=jnp.bfloat16)
 
     # device-resident inputs

@@ -118,6 +118,10 @@ class PostprocessParams:
     max_candidates: int = 256
     max_detections: int = 32
     retina_masks: bool = True
+    # bf16 mask upsampling halves the HBM traffic of the (D, H, W) resize;
+    # pixels whose bilinear value sits within bf16 epsilon of the 0.5
+    # threshold may flip vs the f32 path -- opt-in for serving throughput.
+    fast_masks: bool = False
 
 
 def postprocess_single(outputs, params: PostprocessParams):
@@ -167,13 +171,15 @@ def postprocess_single(outputs, params: PostprocessParams):
             [c.reshape(-1, c.shape[-1]) for c in outputs["coef"]], 0)
         det_coef = coef_flat[top_idx][keep_idx]                # (D, nm)
         out["mask_bits"] = _assemble_masks(
-            outputs["proto"], det_coef, det_boxes, keep_valid, spec)
+            outputs["proto"], det_coef, det_boxes, keep_valid, spec,
+            fast=p.fast_masks)
     else:
         out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
     return out
 
 
-def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec):
+def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
+                    fast: bool = False):
     """``process_mask_native``: sigmoid(coef @ protos), strip letterbox
     padding at proto resolution, bilinear-resize to the original image,
     crop to each box, threshold 0.5 -- emitted as packed uint32 bits."""
@@ -192,6 +198,8 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec):
     bottom = mh - int(round(pad_h + 0.1))
     right = mw - int(round(pad_w + 0.1))
     masks = masks[:, top:bottom, left:right]
+    if fast:
+        masks = masks.astype(jnp.bfloat16)
     masks = jax.image.resize(masks, (d, spec.src_h, spec.src_w),
                              method="bilinear")
 

@@ -192,3 +192,26 @@ def test_yolo_detector_wrapper_smoke(rng):
     for b in range(2):
         max_bit = int(valid[b].sum())
         assert not (bits[b] >> np.uint32(max_bit)).any()
+
+
+def test_fast_masks_close_to_f32():
+    """bf16 mask assembly flips only threshold-borderline pixels."""
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _assemble_masks)
+
+    rng = np.random.default_rng(0)
+    spec = LetterboxSpec.build(376, 1408, 640)
+    protos = jnp.asarray(rng.normal(size=(48, 160, 32)).astype(np.float32))
+    coef = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    boxes = jnp.asarray(np.array([[100, 50, 600, 300], [700, 100, 1300, 350],
+                                  [0, 0, 1408, 376], [200, 200, 210, 210]],
+                                 np.float32))
+    valid = jnp.ones(4, bool)
+    slow = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec))
+    fast = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                      fast=True))
+    total = slow.size
+    diff = (slow != fast).sum()
+    assert diff / total < 0.02, f"{diff}/{total} pixels differ"
+    # the bulk of both masks agrees
+    assert (slow == fast).mean() > 0.98
