@@ -70,7 +70,9 @@ def monocular_distance_bottom_center(intrinsics, boxes,
     dv = v - cy
     z = jnp.where(dv == 0, jnp.inf, camera_height * fy / dv)
     x = (u - cx) * z / fx
-    return jnp.sqrt(x * x + camera_height * camera_height + z * z)
+    dist = jnp.sqrt(x * x + camera_height * camera_height + z * z)
+    # guard 0 * inf -> NaN (horizon box centred on cx), like the 8-point fn
+    return jnp.where(jnp.isfinite(dist), dist, jnp.inf)
 
 
 @dataclasses.dataclass

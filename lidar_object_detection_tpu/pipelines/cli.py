@@ -41,13 +41,16 @@ def _build_detector(args, dataset):
     det = YoloDetector((dataset.camera.height, dataset.camera.width),
                        YoloConfig())
     if args.weights:
-        import os as _os
-        if _os.path.isdir(args.weights):
+        if os.path.isdir(args.weights):
             import orbax.checkpoint as ocp
             from lidar_object_detection_tpu.parallel.checkpoint import (
                 CheckpointManager)
             mgr = CheckpointManager(args.weights)
             step = mgr.latest_step()
+            if step is None:
+                raise SystemExit(
+                    f"no orbax checkpoint found under {args.weights} "
+                    "(run convert-weights first)")
             restored = mgr._mgr.restore(
                 step, args=ocp.args.StandardRestore(
                     {"variables": det.variables}))
@@ -200,9 +203,10 @@ def main(argv=None) -> int:
     print(f"cars: {s['total_cars']}  matched: {s['matched']}  "
           f"avg inside%: {s['avg_inside_pct']:.2f}")
     for fr in result.frames:
+        n_matched = sum(1 for p in fr.matched_pairs
+                        if not p.get("unmatched"))
         print(f"frame {fr.frame_id}: {fr.num_detections} detections, "
-              f"{fr.num_visible_boxes} visible boxes, "
-              f"{len(fr.matched_pairs)} matched")
+              f"{fr.num_visible_boxes} visible boxes, {n_matched} matched")
     if master_csv:
         from lidar_object_detection_tpu.eval.statistics import analyze_master_csv
         print("analysis:", analyze_master_csv(master_csv))

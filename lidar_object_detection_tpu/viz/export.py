@@ -77,8 +77,12 @@ def export_fusion_scene(path: str,
     e_list = box_edges(edge_style)
     for i, pair in enumerate(matched_boxes):
         corners = np.asarray(pair["corners_velo"]).reshape(8, 3)
-        color = (np.asarray(box_colors[i]) if box_colors is not None
-                 else np.asarray([1.0, 0.0, 0.0]))
+        if box_colors is not None:
+            color = np.asarray(box_colors[i])
+        elif "color" in pair:
+            color = np.asarray(pair["color"])   # e.g. V5's unmatched gray
+        else:
+            color = np.asarray([1.0, 0.0, 0.0])
         all_pts.append(corners)
         all_cols.append(np.tile(color, (8, 1)))
         edges.extend((offset + a, offset + b) for a, b in e_list)

@@ -47,3 +47,15 @@ def test_ply_and_edges(tmp_path):
     write_ply(path, np.zeros((4, 3)), edges=[(0, 1), (2, 3)])
     txt = open(path).read()
     assert txt.startswith("ply") and "element edge 2" in txt
+
+
+def test_export_scene_uses_pair_colors(tmp_path):
+    from lidar_object_detection_tpu.viz import export_fusion_scene
+
+    pairs = [{"corners_velo": np.zeros((8, 3)), "color": (0.7, 0.7, 0.7)},
+             {"corners_velo": np.ones((8, 3))}]
+    path = str(tmp_path / "s.ply")
+    export_fusion_scene(path, np.zeros((2, 3)), None, pairs)
+    txt = open(path).read()
+    assert "178 178 178" in txt      # 0.7 * 255 gray corners
+    assert "255 0 0" in txt          # default red for the colorless pair
