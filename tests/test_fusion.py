@@ -320,3 +320,47 @@ def test_rich_filter_mode_in_fusion(dataset, frame100, fused):
         dataset.camera.width, dataset.camera.height)
     np.testing.assert_array_equal(vis_rich, np.asarray(expect))
     assert vis_rich.sum() >= 1
+
+
+def test_hungarian_match_more_dets_than_boxes(dataset, frame100):
+    """D > G pads the column axis; surplus detections stay unmatched."""
+    cam = dataset.camera
+    det_boxes = np.zeros((8, 4))
+    u, v, d = cam.cam2image(frame100.corners_cam0[0].T)
+    pos = d > 0
+    det_boxes[0] = [u[pos].min(), v[pos].min(), u[pos].max(), v[pos].max()]
+    det_valid = np.ones(8, bool)
+    corners = frame100.corners_cam0[:2].astype(np.float64)
+    midx, score, iou = hungarian_match(
+        jnp.asarray(det_boxes), jnp.asarray(det_valid),
+        jnp.asarray(corners), jnp.ones(2, bool),
+        jnp.asarray(cam.intrinsics))
+    midx = np.asarray(midx)
+    assert midx[0] == 0                  # the GT-projection det matches box 0
+    assert (midx[1:] == -1).all()        # zero-area dets rejected by gates
+
+
+def test_greedy_firsttest_threshold(dataset, frame100):
+    """greedy matching at the firsttest prototype's IoU > 0.1 gate."""
+    cam = dataset.camera
+    u, v, d = cam.cam2image(frame100.corners_cam0[0].T)
+    pos = d > 0
+    # a detection with modest overlap (shifted by ~40% of width)
+    x0, x1 = u[pos].min(), u[pos].max()
+    y0, y1 = v[pos].min(), v[pos].max()
+    w = x1 - x0
+    det = np.asarray([[x0 + 0.7 * w, y0, x1 + 0.7 * w, y1]])
+    det_boxes = np.zeros((4, 4))
+    det_boxes[0] = det
+    det_valid = np.zeros(4, bool)
+    det_valid[0] = True
+    corners = frame100.corners_cam0[:1].astype(np.float64)
+    strict, _ = greedy_iou_match(
+        jnp.asarray(det_boxes), jnp.asarray(det_valid), jnp.asarray(corners),
+        jnp.ones(1, bool), jnp.asarray(cam.intrinsics), 0.25)
+    loose, _ = greedy_iou_match(
+        jnp.asarray(det_boxes), jnp.asarray(det_valid), jnp.asarray(corners),
+        jnp.ones(1, bool), jnp.asarray(cam.intrinsics), 0.1)
+    # shift 0.7w: IoU = 0.3/1.7 ~ 0.18 -> fails V4's 0.25 gate, passes 0.1
+    assert int(np.asarray(strict)[0]) == -1
+    assert int(np.asarray(loose)[0]) == 0

@@ -198,3 +198,22 @@ def test_convert_weights_cli_roundtrip(tmp_path):
     k = np.asarray(restored["variables"]["params"]["layer0"]["conv"]["kernel"])
     np.testing.assert_array_equal(
         k, np.transpose(sd["model.0.conv.weight"], (2, 3, 1, 0)))
+
+
+def test_stub_recording_roundtrip(dataset, tmp_path):
+    from lidar_object_detection_tpu.models.stub import StubDetector
+
+    stub = StubDetector(dataset.camera)
+    records = dataset.load_frames([100, 250])
+    det = stub.detect_records(records)
+    path = str(tmp_path / "rec.npz")
+    StubDetector.save_recording(path, det, np.asarray([100, 250]))
+    # replay reordered
+    replay = StubDetector.load_recording(path, frame_ids=[250, 100])
+    np.testing.assert_array_equal(replay["mask_bits"][1], det["mask_bits"][0])
+    np.testing.assert_array_equal(replay["boxes"][0], det["boxes"][1])
+
+
+def test_run_empty_frames(kitti_root):
+    result = v1_pointwise(kitti_root).run([999999])
+    assert result.frames == [] and result.csv_rows == []
