@@ -122,6 +122,12 @@ class PostprocessParams:
     # pixels whose bilinear value sits within bf16 epsilon of the 0.5
     # threshold may flip vs the f32 path -- opt-in for serving throughput.
     fast_masks: bool = False
+    # "xla" (default) = slot-selection loop, lockstep over the vmapped
+    # batch; "pallas" = ops/pallas_nms.py, all-VMEM single kernel --
+    # identical results, faster single-frame, slower under vmap (the
+    # Pallas grid serializes the batch: 1.26 vs 0.85 ms for 19 frames
+    # on v5e).
+    nms_impl: str = "xla"
 
 
 def postprocess_single(outputs, params: PostprocessParams):
@@ -156,8 +162,13 @@ def postprocess_single(outputs, params: PostprocessParams):
     cand_valid = top_scores > p.conf_threshold
 
     boxes_lb = decode_boxes(box_flat, level_shapes)[top_idx]
-    keep_idx, keep_valid = nms(boxes_lb, top_scores, cand_valid,
-                               p.iou_threshold, p.max_detections)
+    if p.nms_impl == "pallas":
+        from lidar_object_detection_tpu.ops.pallas_nms import pallas_nms
+        keep_idx, keep_valid = pallas_nms(boxes_lb, top_scores, cand_valid,
+                                          p.iou_threshold, p.max_detections)
+    else:
+        keep_idx, keep_valid = nms(boxes_lb, top_scores, cand_valid,
+                                   p.iou_threshold, p.max_detections)
 
     det_boxes_lb = boxes_lb[keep_idx]
     det_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)

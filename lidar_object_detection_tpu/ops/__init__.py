@@ -10,6 +10,7 @@ from lidar_object_detection_tpu.ops.erosion import (
 )
 from lidar_object_detection_tpu.ops.hungarian import hungarian
 from lidar_object_detection_tpu.ops.nms import nms
+from lidar_object_detection_tpu.ops.pallas_nms import pallas_nms
 from lidar_object_detection_tpu.ops.scatter import scatter_depth_maps
 
 __all__ = [
@@ -21,5 +22,6 @@ __all__ = [
     "erode_masks",
     "hungarian",
     "nms",
+    "pallas_nms",
     "scatter_depth_maps",
 ]

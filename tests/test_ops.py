@@ -205,3 +205,24 @@ def test_nms_nan_scores_dropped(rng):
                     jnp.ones(3, bool), 0.5, 4)
     got = list(np.asarray(idx)[np.asarray(keep)])
     assert got == [1, 2]           # finite detections survive a NaN peer
+
+
+def test_pallas_nms_parity(rng):
+    from lidar_object_detection_tpu.ops.pallas_nms import pallas_nms
+
+    n = 64
+    centers = rng.uniform(0, 200, (n, 2))
+    sizes = rng.uniform(10, 60, (n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], -1)
+    scores = rng.random(n).astype(np.float32)
+    scores[5] = np.nan
+    valid = rng.random(n) > 0.1
+    ref_idx, ref_keep = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(valid), 0.5, 16)
+    got_idx, got_keep = pallas_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                   jnp.asarray(valid), 0.5, 16,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_keep), np.asarray(ref_keep))
+    kept = np.asarray(ref_keep)
+    np.testing.assert_array_equal(np.asarray(got_idx)[kept],
+                                  np.asarray(ref_idx)[kept])
