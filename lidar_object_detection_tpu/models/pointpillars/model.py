@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -69,8 +70,48 @@ class ConvBN(nn.Module):
         return nn.relu(x)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics exclude masked-out rows.
+
+    The pillar feature net normalizes (B*P, C) point embeddings where
+    ~2/3 of rows are zero padding / out-of-grid points; plain BatchNorm
+    dilutes the statistics toward zero (shrinking the effective scale of
+    real features by the valid fraction).  Here mean/var are weighted by
+    the validity mask, with the standard running-average update.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            w = mask.astype(jnp.float32)[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x.astype(jnp.float32) * w, axis=0) / n
+            var = jnp.sum(((x.astype(jnp.float32) - mean) ** 2) * w,
+                          axis=0) / n
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class PillarFeatureNet(nn.Module):
-    """Per-point linear + BN + ReLU, then pillar max-pool to dense BEV.
+    """Per-point linear + masked BN + ReLU, then pillar max-pool to dense
+    BEV.
 
     Batched without vmap: (B, P) points flatten onto one axis and the
     scatter uses per-frame pillar-id offsets (see voxelize.point_features).
@@ -89,9 +130,8 @@ class PillarFeatureNet(nn.Module):
                                              batch=b)
         x = nn.Dense(self.cfg.embed_dim, use_bias=False, dtype=self.dtype,
                      name="linear")(feats.astype(self.dtype))
-        x = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.cfg.bn_momentum,
-                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        x = MaskedBatchNorm(momentum=self.cfg.bn_momentum, dtype=self.dtype,
+                            name="bn")(x, in_grid, train)
         x = nn.relu(x)
         return scatter_bev(x.astype(jnp.float32), ids, in_grid, grid,
                            batch=b)

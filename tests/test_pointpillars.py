@@ -167,3 +167,30 @@ def test_decode_predictions_sanity():
     np.testing.assert_allclose(box, anchors[10, 12, 0], atol=1e-5)
     assert float(np.asarray(det["scores"])[0]) == pytest.approx(
         1 / (1 + np.exp(-4.0)))
+
+
+def test_masked_batchnorm_excludes_padding(rng):
+    import jax
+    from lidar_object_detection_tpu.models.pointpillars.model import (
+        MaskedBatchNorm)
+
+    x = rng.normal(3.0, 2.0, (1000, 8)).astype(np.float32)
+    mask = np.zeros(1000, bool)
+    mask[:400] = True
+    x[~mask] = 0.0
+    bn = MaskedBatchNorm(momentum=0.0)   # running stats = batch stats
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(mask), train=True)
+    y, updates = bn.apply(variables, jnp.asarray(x), jnp.asarray(mask),
+                          train=True, mutable=["batch_stats"])
+    mean = np.asarray(updates["batch_stats"]["mean"])
+    # statistics computed over VALID rows only (mean ~3, not 3*0.4)
+    np.testing.assert_allclose(mean, x[mask].mean(0), rtol=1e-4, atol=1e-4)
+    yv = np.asarray(y)[mask]
+    np.testing.assert_allclose(yv.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(yv.std(0), 1.0, atol=1e-2)
+    # eval mode uses the running stats
+    y2 = bn.apply({"params": variables["params"],
+                   "batch_stats": updates["batch_stats"]},
+                  jnp.asarray(x), jnp.asarray(mask), train=False)
+    np.testing.assert_allclose(np.asarray(y2)[mask].mean(0), 0.0, atol=1e-3)
