@@ -46,10 +46,82 @@ def _level_of(box_wh, strides=STRIDES):
     return jnp.argmin(dist, axis=-1)
 
 
+def _anchor_centers(level_shapes, strides=STRIDES):
+    """Anchor centers in letterbox pixels, flattened over levels: (N, 2),
+    plus per-anchor strides (N,)."""
+    import numpy as np
+
+    pts, sts = [], []
+    for (h, w), s in zip(level_shapes, strides):
+        ys = (np.arange(h) + 0.5) * s
+        xs = (np.arange(w) + 0.5) * s
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        pts.append(np.stack([gx.ravel(), gy.ravel()], -1))
+        sts.append(np.full(h * w, s, np.float32))
+    return (jnp.asarray(np.concatenate(pts).astype(np.float32)),
+            jnp.asarray(np.concatenate(sts)))
+
+
+def task_aligned_assign(cls_logits, pred_boxes, targets, level_shapes,
+                        topk: int = 10, alpha: float = 0.5,
+                        beta: float = 6.0):
+    """Task-aligned assignment (TOOD/ultralytics TAL): per GT, rank
+    center-inside-box anchors by ``score^alpha * IoU^beta`` and take the
+    top-k; anchors claimed by several GTs go to the highest-alignment one.
+
+    Args:
+      cls_logits: (N, nc) raw logits for ONE image.
+      pred_boxes: (N, 4) decoded xyxy predictions (letterbox px).
+      targets: dict with boxes (T, 4), classes (T,), valid (T,).
+
+    Returns dict: assigned_gt (N,) int32, pos (N,) bool,
+    norm_align (N,) float32 soft target scale in [0, 1].
+    """
+    tb = targets["boxes"].astype(jnp.float32)          # (T, 4)
+    tvalid = targets["valid"]
+    centers, _ = _anchor_centers(level_shapes)         # (N, 2)
+    n = centers.shape[0]
+    t = tb.shape[0]
+
+    inside = ((centers[None, :, 0] >= tb[:, None, 0])
+              & (centers[None, :, 0] <= tb[:, None, 2])
+              & (centers[None, :, 1] >= tb[:, None, 1])
+              & (centers[None, :, 1] <= tb[:, None, 3])
+              & tvalid[:, None])                       # (T, N)
+
+    from lidar_object_detection_tpu.geom.boxes import iou_2d_matrix
+
+    iou = iou_2d_matrix(tb, pred_boxes)                # (T, N)
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    cls_t = scores[:, targets["classes"]].T            # (T, N)
+    align = (cls_t ** alpha) * (jnp.maximum(iou, 0.0) ** beta)
+    align = jnp.where(inside, align, 0.0)
+
+    k = min(topk, n)
+    thresh = jax.lax.top_k(align, k)[0][:, -1:]        # (T, 1) kth value
+    is_topk = (align >= jnp.maximum(thresh, 1e-9)) & inside & (align > 0)
+
+    # conflict resolution: anchor belongs to the GT with max alignment
+    masked_align = jnp.where(is_topk, align, -1.0)
+    assigned_gt = jnp.argmax(masked_align, axis=0).astype(jnp.int32)  # (N,)
+    best_align = jnp.max(masked_align, axis=0)
+    pos = best_align > 0
+
+    # soft target: per-GT normalize alignment by its max, scaled by max IoU
+    per_gt_max_align = jnp.max(jnp.where(is_topk, align, 0.0), axis=1,
+                               keepdims=True)
+    per_gt_max_iou = jnp.max(jnp.where(is_topk, iou, 0.0), axis=1,
+                             keepdims=True)
+    norm = align / jnp.maximum(per_gt_max_align, 1e-9) * per_gt_max_iou
+    norm_align = jnp.max(jnp.where(is_topk, norm, 0.0), axis=0)
+    return {"assigned_gt": assigned_gt, "pos": pos,
+            "norm_align": jnp.where(pos, norm_align, 0.0)}
+
+
 def detection_loss(outputs, targets, num_classes: int,
                    level_shapes: Tuple[Tuple[int, int], ...],
                    cls_weight: float = 0.5, box_weight: float = 7.5,
-                   dfl_weight: float = 1.5):
+                   dfl_weight: float = 1.5, assigner: str = "tal"):
     """Compute the loss for one batch.
 
     Args:
@@ -73,6 +145,10 @@ def detection_loss(outputs, targets, num_classes: int,
         [o.reshape(b, -1, 4 * REG_MAX) for o in outputs["box"]], 1)
     cls_flat = jnp.concatenate(
         [o.reshape(b, -1, o.shape[-1]) for o in outputs["cls"]], 1)
+
+    if assigner == "tal":
+        return _tal_loss(box_flat, cls_flat, targets, num_classes,
+                         level_shapes, cls_weight, box_weight, dfl_weight)
 
     tb = targets["boxes"].astype(jnp.float32)
     center = (tb[..., :2] + tb[..., 2:]) / 2
@@ -138,6 +214,80 @@ def detection_loss(outputs, targets, num_classes: int,
 
     total = cls_weight * cls_loss + box_weight * box_loss + dfl_weight * dfl
     return total, {"cls": cls_loss, "box": box_loss, "dfl": dfl}
+
+
+def _tal_loss(box_flat, cls_flat, targets, num_classes, level_shapes,
+              cls_weight, box_weight, dfl_weight):
+    """Anchor-centric v8-style loss under task-aligned assignment:
+    BCE classification with soft (alignment-normalized) targets, IoU +
+    DFL regression on positives weighted by the soft target."""
+    b, n, nc = cls_flat.shape
+    centers, strides_n = _anchor_centers(level_shapes)    # (N, 2), (N,)
+
+    dist = jax.nn.softmax(
+        box_flat.reshape(b, n, 4, REG_MAX).astype(jnp.float32), -1)
+    ltrb = dist @ jnp.arange(REG_MAX, dtype=jnp.float32)  # (B, N, 4) cells
+    px1y1 = centers[None] - ltrb[..., :2] * strides_n[None, :, None]
+    px2y2 = centers[None] + ltrb[..., 2:] * strides_n[None, :, None]
+    pred_boxes = jnp.concatenate([px1y1, px2y2], -1)      # (B, N, 4)
+
+    # assignment is a target-construction step: no gradients flow through
+    # the alignment metric (ultralytics detaches it the same way)
+    assign = jax.vmap(
+        lambda cl, pb, tb, tc, tv: task_aligned_assign(
+            cl, pb, {"boxes": tb, "classes": tc, "valid": tv},
+            level_shapes))(
+        jax.lax.stop_gradient(cls_flat),
+        jax.lax.stop_gradient(pred_boxes),
+        targets["boxes"], targets["classes"], targets["valid"])
+    pos = assign["pos"]                                   # (B, N)
+    soft = assign["norm_align"]                           # (B, N)
+    agt = assign["assigned_gt"]                           # (B, N)
+
+    gt_boxes = jnp.take_along_axis(
+        targets["boxes"].astype(jnp.float32), agt[..., None], axis=1)
+    gt_cls = jnp.take_along_axis(targets["classes"], agt, axis=1)
+
+    # --- classification: BCE with soft targets (ultralytics v8 style) ---
+    labels = jax.nn.one_hot(gt_cls, nc) * soft[..., None]
+    cls_bce = optax.sigmoid_binary_cross_entropy(
+        cls_flat.astype(jnp.float32), labels)
+    norm = jnp.maximum(jnp.sum(soft), 1.0)
+    cls_loss = jnp.sum(cls_bce) / norm
+
+    # --- IoU loss on positives, weighted by the soft target ---
+    ix1 = jnp.maximum(pred_boxes[..., 0], gt_boxes[..., 0])
+    iy1 = jnp.maximum(pred_boxes[..., 1], gt_boxes[..., 1])
+    ix2 = jnp.minimum(pred_boxes[..., 2], gt_boxes[..., 2])
+    iy2 = jnp.minimum(pred_boxes[..., 3], gt_boxes[..., 3])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    area_p = (jnp.maximum(pred_boxes[..., 2] - pred_boxes[..., 0], 0)
+              * jnp.maximum(pred_boxes[..., 3] - pred_boxes[..., 1], 0))
+    area_g = ((gt_boxes[..., 2] - gt_boxes[..., 0])
+              * (gt_boxes[..., 3] - gt_boxes[..., 1]))
+    iou = inter / jnp.maximum(area_p + area_g - inter, 1e-9)
+    w = soft * pos.astype(jnp.float32)
+    box_loss = jnp.sum((1.0 - iou) * w) / norm
+
+    # --- DFL on positives ---
+    tgt_lt = (centers[None] - gt_boxes[..., :2]) / strides_n[None, :, None]
+    tgt_rb = (gt_boxes[..., 2:] - centers[None]) / strides_n[None, :, None]
+    tgt_ltrb = jnp.clip(jnp.concatenate([tgt_lt, tgt_rb], -1),
+                        0.0, REG_MAX - 1.01)
+    tl = jnp.floor(tgt_ltrb)
+    wr = tgt_ltrb - tl
+    wl = 1.0 - wr
+    logp = jax.nn.log_softmax(
+        box_flat.reshape(b, n, 4, REG_MAX).astype(jnp.float32), -1)
+    tl_i = tl.astype(jnp.int32)
+    gather = lambda idx: jnp.take_along_axis(logp, idx[..., None], -1)[..., 0]
+    dfl = -(gather(tl_i) * wl
+            + gather(jnp.minimum(tl_i + 1, REG_MAX - 1)) * wr)
+    dfl_loss = jnp.sum(jnp.mean(dfl, -1) * w) / norm
+
+    total = (cls_weight * cls_loss + box_weight * box_loss
+             + dfl_weight * dfl_loss)
+    return total, {"cls": cls_loss, "box": box_loss, "dfl": dfl_loss}
 
 
 # ---------------------------------------------------------------------------

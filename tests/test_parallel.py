@@ -121,3 +121,44 @@ def test_trainer_loss_parts(mesh8):
     assert set(parts) == {"cls", "box", "dfl"}
     # zero-logit cls -> BCE log(2) per entry summed over anchors/classes
     assert float(parts["cls"]) > 0
+
+
+def test_task_aligned_assign():
+    import jax.numpy as jnp
+    from lidar_object_detection_tpu.parallel.train import task_aligned_assign
+
+    lvl = ((8, 8), (4, 4), (2, 2))
+    n = 64 + 16 + 4
+    rng = np.random.default_rng(0)
+    cls_logits = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    # perfect predictions: every anchor predicts the first GT box
+    gt = np.array([[8.0, 8.0, 40.0, 40.0], [0, 0, 0, 0]], np.float32)
+    pred = np.tile(gt[0], (n, 1)).astype(np.float32)
+    out = task_aligned_assign(
+        cls_logits, jnp.asarray(pred),
+        {"boxes": jnp.asarray(gt),
+         "classes": jnp.asarray([1, 0], np.int32),
+         "valid": jnp.asarray([True, False])}, lvl)
+    pos = np.asarray(out["pos"])
+    # top-k = 10 center-inside anchors become positives for GT 0
+    assert 1 <= pos.sum() <= 10
+    assert (np.asarray(out["assigned_gt"])[pos] == 0).all()
+    na = np.asarray(out["norm_align"])
+    assert na[pos].max() <= 1.0 + 1e-6 and na[pos].max() > 0.5
+    assert (na[~pos] == 0).all()
+
+
+def test_trainer_tal_loss_descends(mesh8, rng):
+    cfg = YoloConfig(scale="n", num_classes=8, segment=False)
+    trainer = YoloTrainer(cfg, mesh8, image_size=(64, 64), learning_rate=5e-3)
+    images = rng.random((4, 64, 64, 3), np.float32)
+    targets = {
+        "boxes": np.tile(np.array([[[8, 8, 40, 40], [20, 20, 60, 56]]],
+                                  np.float32), (4, 1, 1)),
+        "classes": np.tile(np.array([[2, 5]], np.int32), (4, 1)),
+        "valid": np.ones((4, 2), bool),
+    }
+    losses = [float(trainer.train_step(images, targets)["loss"])
+              for _ in range(6)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
