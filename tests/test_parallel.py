@@ -162,3 +162,19 @@ def test_trainer_tal_loss_descends(mesh8, rng):
               for _ in range(6)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_trainer_with_segment_head(mesh8, rng):
+    """Training through the full -seg model (proto/coef branches carry no
+    loss yet but must not break the step)."""
+    cfg = YoloConfig(scale="n", num_classes=4, segment=True)
+    trainer = YoloTrainer(cfg, mesh8, image_size=(64, 64))
+    images = rng.random((4, 64, 64, 3), np.float32)
+    targets = {
+        "boxes": np.tile(np.array([[[8, 8, 40, 40]]], np.float32), (4, 1, 1)),
+        "classes": np.zeros((4, 1), np.int32),
+        "valid": np.ones((4, 1), bool),
+    }
+    m = trainer.train_step(images, targets)
+    assert np.isfinite(float(m["loss"]))
+    assert int(trainer.state.step) == 1
