@@ -4,11 +4,12 @@ The reference never trains -- it consumes pretrained ultralytics weights
 (V1:14).  A production framework needs the training path, so this module
 provides a jit-compiled train step for the Flax YOLO11 with:
 
-* a detection/segmentation loss (BCE classification over all anchors,
-  CIoU-style box loss + distribution-focal loss on assigned anchors; a
-  single-anchor center assigner stands in for ultralytics' task-aligned
-  assigner -- simple, differentiable, and sufficient for convergence on
-  fine-tuning workloads),
+* the v8-family detection loss under task-aligned assignment (TAL:
+  per-GT top-k by score^alpha * IoU^beta, soft targets, stop-gradiented)
+  -- BCE classification, IoU + distribution-focal box regression -- plus
+  the Segment-head instance-mask BCE (proto x coefficients, box-cropped,
+  area-normalized) when GT masks are provided; a simpler single-anchor
+  center assigner remains selectable (assigner='center'),
 * optax AdamW,
 * mesh sharding: the image batch over ``data``; conv kernels (and their
   optimizer moments) tensor-parallel over ``model`` along output channels
@@ -147,8 +148,14 @@ def detection_loss(outputs, targets, num_classes: int,
         [o.reshape(b, -1, o.shape[-1]) for o in outputs["cls"]], 1)
 
     if assigner == "tal":
+        seg = None
+        if "masks" in targets and "coef" in outputs:
+            coef_flat = jnp.concatenate(
+                [o.reshape(b, -1, o.shape[-1]) for o in outputs["coef"]], 1)
+            seg = (outputs["proto"], coef_flat, targets["masks"])
         return _tal_loss(box_flat, cls_flat, targets, num_classes,
-                         level_shapes, cls_weight, box_weight, dfl_weight)
+                         level_shapes, cls_weight, box_weight, dfl_weight,
+                         seg=seg)
 
     tb = targets["boxes"].astype(jnp.float32)
     center = (tb[..., :2] + tb[..., 2:]) / 2
@@ -217,7 +224,8 @@ def detection_loss(outputs, targets, num_classes: int,
 
 
 def _tal_loss(box_flat, cls_flat, targets, num_classes, level_shapes,
-              cls_weight, box_weight, dfl_weight):
+              cls_weight, box_weight, dfl_weight, seg=None,
+              seg_weight: float = 1.0):
     """Anchor-centric v8-style loss under task-aligned assignment:
     BCE classification with soft (alignment-normalized) targets, IoU +
     DFL regression on positives weighted by the soft target."""
@@ -287,7 +295,65 @@ def _tal_loss(box_flat, cls_flat, targets, num_classes, level_shapes,
 
     total = (cls_weight * cls_loss + box_weight * box_loss
              + dfl_weight * dfl_loss)
-    return total, {"cls": cls_loss, "box": box_loss, "dfl": dfl_loss}
+    parts = {"cls": cls_loss, "box": box_loss, "dfl": dfl_loss}
+    if seg is not None:
+        proto, coef_flat, gt_masks = seg
+        seg_l = segmentation_loss(proto, coef_flat, assign, gt_masks,
+                                  targets["boxes"], level_shapes)
+        total = total + seg_weight * seg_l
+        parts["seg"] = seg_l
+    return total, parts
+
+
+def segmentation_loss(proto, coef_flat, assign, gt_masks, gt_boxes,
+                      level_shapes, max_pos: int = 64):
+    """Instance-mask loss for the Segment head (ultralytics v8-seg style).
+
+    For (up to) the ``max_pos`` highest-aligned positive anchors per image,
+    predict the instance mask as sigmoid(coef . proto) at proto resolution
+    and take the BCE against the assigned GT mask, cropped to the GT box
+    and normalized by the box area.
+
+    Args:
+      proto: (B, Hp, Wp, nm) prototypes.
+      coef_flat: (B, N, nm) per-anchor mask coefficients.
+      assign: dict from the TAL assignment (pos, norm_align, assigned_gt).
+      gt_masks: (B, T, Hp, Wp) float {0,1} GT instance masks at proto
+        resolution (letterbox frame).
+      gt_boxes: (B, T, 4) xyxy in letterbox pixels.
+      level_shapes: static head shapes (for the letterbox->proto scale).
+    """
+    b, hp, wp, nm = proto.shape
+    # letterbox -> proto-resolution scale (stride-4 prototypes)
+    h0 = level_shapes[0][0] * STRIDES[0]
+    scale = hp / h0
+
+    # top max_pos positive anchors by soft target
+    key = jnp.where(assign["pos"], assign["norm_align"], -1.0)   # (B, N)
+    top_w, top_i = jax.lax.top_k(key, max_pos)                   # (B, K)
+    sel_ok = top_w > 0
+    coef = jnp.take_along_axis(coef_flat, top_i[..., None], axis=1)
+    agt = jnp.take_along_axis(assign["assigned_gt"], top_i, axis=1)
+
+    pred = jnp.einsum("bkn,bhwn->bkhw", coef.astype(jnp.float32),
+                      proto.astype(jnp.float32))                 # logits
+
+    tgt = jnp.take_along_axis(
+        gt_masks.astype(jnp.float32), agt[..., None, None], axis=1)
+    boxes = jnp.take_along_axis(gt_boxes.astype(jnp.float32),
+                                agt[..., None], axis=1) * scale  # (B,K,4)
+
+    bce = optax.sigmoid_binary_cross_entropy(pred, tgt)          # (B,K,H,W)
+    xs = jnp.arange(wp, dtype=jnp.float32)[None, None, None, :]
+    ys = jnp.arange(hp, dtype=jnp.float32)[None, None, :, None]
+    in_box = ((xs >= boxes[..., 0, None, None])
+              & (xs < boxes[..., 2, None, None])
+              & (ys >= boxes[..., 1, None, None])
+              & (ys < boxes[..., 3, None, None]))
+    area = jnp.maximum(jnp.sum(in_box.astype(jnp.float32), (-2, -1)), 1.0)
+    per_inst = jnp.sum(bce * in_box.astype(jnp.float32), (-2, -1)) / area
+    w = sel_ok.astype(jnp.float32) * top_w
+    return jnp.sum(per_inst * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 # ---------------------------------------------------------------------------

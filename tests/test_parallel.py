@@ -178,3 +178,29 @@ def test_trainer_with_segment_head(mesh8, rng):
     m = trainer.train_step(images, targets)
     assert np.isfinite(float(m["loss"]))
     assert int(trainer.state.step) == 1
+
+
+def test_seg_mask_loss_trains(mesh8, rng):
+    """Full -seg training with GT instance masks: seg loss present, finite,
+    and the combined loss descends."""
+    cfg = YoloConfig(scale="n", num_classes=4, segment=True)
+    trainer = YoloTrainer(cfg, mesh8, image_size=(64, 64), learning_rate=5e-3)
+    images = rng.random((4, 64, 64, 3), np.float32)
+    # proto resolution = 64/4 = 16
+    masks = np.zeros((4, 2, 16, 16), np.float32)
+    masks[:, 0, 2:10, 2:10] = 1.0
+    masks[:, 1, 5:14, 5:14] = 1.0
+    targets = {
+        "boxes": np.tile(np.array([[[8, 8, 40, 40], [20, 20, 56, 56]]],
+                                  np.float32), (4, 1, 1)),
+        "classes": np.tile(np.array([[2, 1]], np.int32), (4, 1)),
+        "valid": np.ones((4, 2), bool),
+        "masks": masks,
+    }
+    m0 = trainer.train_step(images, targets)
+    assert "seg" in m0 and np.isfinite(float(m0["seg"]))
+    losses = [float(m0["loss"])]
+    for _ in range(5):
+        losses.append(float(trainer.train_step(images, targets)["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
