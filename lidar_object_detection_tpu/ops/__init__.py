@@ -11,6 +11,8 @@ from lidar_object_detection_tpu.ops.erosion import (
 from lidar_object_detection_tpu.ops.hungarian import hungarian
 from lidar_object_detection_tpu.ops.nms import nms
 from lidar_object_detection_tpu.ops.pallas_nms import pallas_nms
+from lidar_object_detection_tpu.ops.rotated_iou import (
+    rotated_iou_matrix, box7_to_bev_corners)
 from lidar_object_detection_tpu.ops.scatter import scatter_depth_maps
 
 __all__ = [
@@ -24,4 +26,6 @@ __all__ = [
     "nms",
     "pallas_nms",
     "scatter_depth_maps",
+    "rotated_iou_matrix",
+    "box7_to_bev_corners",
 ]

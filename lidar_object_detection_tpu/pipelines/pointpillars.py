@@ -66,8 +66,13 @@ class PillarsEvalResult:
         return self.matched / self.total_det if self.total_det else 0.0
 
 
-def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5):
-    """Greedy BEV-IoU matching of decoded detections against GT."""
+def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5,
+                 exact: bool = False):
+    """Greedy BEV-IoU matching of decoded detections against GT.
+
+    ``exact=True`` uses the rotated-rectangle IoU
+    (ops/rotated_iou.py); default is the axis-aligned BEV extent.
+    """
     matched = 0
     total_det = 0
     total_gt = int(np.asarray(gt_valid).sum())
@@ -76,10 +81,16 @@ def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5):
     gt_ok = np.asarray(gt_valid)
     gt_np = np.asarray(gt_boxes7)
     if det_ok.any() and gt_ok.any():
-        d_aabb = np.asarray(bev_aabb(jnp.asarray(det_boxes[det_ok])))
-        g_aabb = np.asarray(bev_aabb(jnp.asarray(gt_np[gt_ok])))
-        iou = np.asarray(iou_2d_matrix(jnp.asarray(d_aabb),
-                                       jnp.asarray(g_aabb)))
+        if exact:
+            from lidar_object_detection_tpu.ops.rotated_iou import (
+                rotated_iou_matrix)
+            iou = np.asarray(rotated_iou_matrix(
+                jnp.asarray(det_boxes[det_ok]), jnp.asarray(gt_np[gt_ok])))
+        else:
+            d_aabb = np.asarray(bev_aabb(jnp.asarray(det_boxes[det_ok])))
+            g_aabb = np.asarray(bev_aabb(jnp.asarray(gt_np[gt_ok])))
+            iou = np.asarray(iou_2d_matrix(jnp.asarray(d_aabb),
+                                           jnp.asarray(g_aabb)))
         used = np.zeros(iou.shape[1], bool)
         total_det = int(det_ok.sum())
         for d in range(iou.shape[0]):
