@@ -91,11 +91,14 @@ def bev_aabb(boxes7):
 def decode_predictions(outputs, cfg: PillarsConfig,
                        score_threshold: float = 0.3,
                        iou_threshold: float = 0.5,
-                       max_detections: int = 64):
+                       max_detections: int = 64,
+                       rotated_nms: bool = False):
     """Raw SSD heads -> final detections for ONE frame.
 
     Args:
       outputs: dict(cls (H, W, A, nc), box (H, W, A, 7), dir (H, W, A, 2)).
+      rotated_nms: exact rotated-rectangle IoU suppression
+        (ops/rotated_iou.py) instead of the BEV-AABB approximation.
 
     Returns dict: boxes7 (M, 7), scores (M,), classes (M,), valid (M,).
     """
@@ -115,9 +118,14 @@ def decode_predictions(outputs, cfg: PillarsConfig,
     k = min(512, n)
     top_scores, top_idx = jax.lax.top_k(scores_all, k)
     cand_valid = top_scores > score_threshold
-    aabb = bev_aabb(boxes7[top_idx])
-    keep_idx, keep_valid = nms(aabb, top_scores, cand_valid, iou_threshold,
-                               max_detections)
+    if rotated_nms:
+        keep_idx, keep_valid = _rotated_nms(
+            boxes7[top_idx], top_scores, cand_valid, iou_threshold,
+            max_detections)
+    else:
+        aabb = bev_aabb(boxes7[top_idx])
+        keep_idx, keep_valid = nms(aabb, top_scores, cand_valid,
+                                   iou_threshold, max_detections)
     sel = top_idx[keep_idx]
     return {
         "boxes7": boxes7[sel],
@@ -125,6 +133,34 @@ def decode_predictions(outputs, cfg: PillarsConfig,
         "classes": classes[sel],
         "valid": keep_valid,
     }
+
+
+def _rotated_nms(boxes7, scores, valid, iou_threshold, max_outputs):
+    """Greedy NMS on the exact rotated BEV IoU matrix (same slot-selection
+    loop as ops.nms, different overlap metric)."""
+    from lidar_object_detection_tpu.ops.rotated_iou import rotated_iou_matrix
+
+    n = boxes7.shape[0]
+    iou = rotated_iou_matrix(boxes7, boxes7)
+    neg = jnp.float32(-jnp.inf)
+    finite = valid & jnp.isfinite(scores)
+    base = jnp.where(finite, scores.astype(jnp.float32), neg)
+
+    def body(slot, state):
+        alive, out_idx, out_valid = state
+        masked = jnp.where(alive, base, neg)
+        best = jnp.argmax(masked).astype(jnp.int32)
+        ok = alive[best] & (base[best] > neg)
+        out_idx = out_idx.at[slot].set(jnp.where(ok, best, 0))
+        out_valid = out_valid.at[slot].set(ok)
+        suppress = (iou[best] > iou_threshold) | (jnp.arange(n) == best)
+        alive = jnp.where(ok, alive & ~suppress, alive)
+        return alive, out_idx, out_valid
+
+    state = (finite, jnp.zeros((max_outputs,), jnp.int32),
+             jnp.zeros((max_outputs,), bool))
+    _, out_idx, keep_valid = jax.lax.fori_loop(0, max_outputs, body, state)
+    return out_idx, keep_valid
 
 
 def corners_to_boxes7(corners):

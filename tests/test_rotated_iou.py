@@ -110,3 +110,34 @@ def test_evaluate_bev_exact_mode():
            "valid": np.asarray([True, True])}
     res = evaluate_bev(det, gt, np.asarray([True, True]), exact=True)
     assert res.matched == 1 and res.total_gt == 2 and res.total_det == 2
+
+
+def test_rotated_nms_in_decode():
+    """Rotated NMS suppresses a heavily-overlapping rotated duplicate that
+    the AABB approximation would keep or drop differently."""
+    from lidar_object_detection_tpu.models.pointpillars import (
+        PillarsConfig, PillarGridConfig, anchor_grid)
+    from lidar_object_detection_tpu.models.pointpillars.decode import (
+        decode_predictions)
+
+    cfg = PillarsConfig(grid=PillarGridConfig(
+        x_range=(0.0, 20.48), y_range=(-10.24, 10.24), pillar_size=0.32))
+    h, w, a = cfg.grid.ny // 2, cfg.grid.nx // 2, cfg.num_anchors
+    outputs = {
+        "cls": np.full((h, w, a, 1), -9.0, np.float32),
+        "box": np.zeros((h, w, a, 7), np.float32),
+        "dir": np.zeros((h, w, a, 2), np.float32),
+    }
+    # two confident anchors at the SAME cell, both anchor rotations ->
+    # same center, yaw 0 vs pi/2: crossed 1.6x3.9 rectangles,
+    # inter = 1.6^2 = 2.56, union = 2*6.24 - 2.56 -> rotated IoU ~0.258
+    outputs["cls"][10, 12, 0, 0] = 4.0
+    outputs["cls"][10, 12, 1, 0] = 3.0
+    det = decode_predictions(
+        {k: jnp.asarray(v) for k, v in outputs.items()}, cfg,
+        score_threshold=0.3, iou_threshold=0.2, rotated_nms=True)
+    assert int(np.asarray(det["valid"]).sum()) == 1   # second one suppressed
+    det2 = decode_predictions(
+        {k: jnp.asarray(v) for k, v in outputs.items()}, cfg,
+        score_threshold=0.3, iou_threshold=0.3, rotated_nms=True)
+    assert int(np.asarray(det2["valid"]).sum()) == 2  # 0.258 < 0.3 survives
