@@ -127,11 +127,25 @@ def load_perspective_camera(kitti360_root: str, cam_id: int = 0) -> CameraCalibr
 
 @dataclasses.dataclass(frozen=True)
 class TransformChain:
-    """The full velo<->cam transform chain of the reference (V1:304-312)."""
+    """The full velo<->cam transform chain of the reference (V1:304-312).
 
-    velo_to_cam: np.ndarray    # (4, 4) TrVeloToCam
-    cam_to_velo: np.ndarray    # (4, 4) inverse
-    velo_to_rect: np.ndarray   # (4, 4) R_rect @ TrVeloToCam
+    GT box corners are annotated in the cam0 frame (``bboxes_3D_cam0``);
+    ``corners_cam0_to_cam`` maps them into the frame the configured camera's
+    intrinsics project from.  For cam 0 this is the identity -- the reference
+    projects cam0-frame corners directly with the cam0 intrinsics (no
+    R_rect_00), and our parity tests pin that behavior.  For cam k>0 it is
+    ``R_rect_k @ inv(camk_to_cam0)``: move into the cam-k frame, then
+    rectify, so corners land in the same frame the point cloud reaches via
+    ``velo_to_rect``.  ``corners_to_velo`` maps corners *from that frame*
+    back to velodyne -- algebraically ``cam0_to_velo`` composed with the
+    inverse corner transform, so corners_velo is identical for every camera.
+    """
+
+    velo_to_cam: np.ndarray         # (4, 4) TrVeloToCam
+    cam_to_velo: np.ndarray         # (4, 4) inverse
+    velo_to_rect: np.ndarray        # (4, 4) R_rect @ TrVeloToCam
+    corners_cam0_to_cam: np.ndarray  # (4, 4) cam0 frame -> projection frame
+    corners_to_velo: np.ndarray      # (4, 4) projection frame -> velodyne
 
 
 def build_transform_chain(kitti360_root: str, camera: CameraCalibration) -> TransformChain:
@@ -145,6 +159,16 @@ def build_transform_chain(kitti360_root: str, camera: CameraCalibration) -> Tran
     cam_to_velo = cam0_to_velo @ camk_to_cam0
     velo_to_cam = np.linalg.inv(cam_to_velo)
     velo_to_rect = camera.rect @ velo_to_cam
+    if camera.cam_id == 0:
+        corners_cam0_to_cam = np.eye(4, dtype=np.float64)
+        corners_to_velo = cam0_to_velo
+    else:
+        corners_cam0_to_cam = camera.rect @ np.linalg.inv(camk_to_cam0)
+        # corners arrive in the rectified cam-k frame; back to velodyne is
+        # cam0_to_velo @ inv(corners_cam0_to_cam) == inv(velo_to_rect).
+        corners_to_velo = cam0_to_velo @ np.linalg.inv(corners_cam0_to_cam)
     return TransformChain(velo_to_cam=velo_to_cam,
                           cam_to_velo=np.linalg.inv(velo_to_cam),
-                          velo_to_rect=velo_to_rect)
+                          velo_to_rect=velo_to_rect,
+                          corners_cam0_to_cam=corners_cam0_to_cam,
+                          corners_to_velo=corners_to_velo)

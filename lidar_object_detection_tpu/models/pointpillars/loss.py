@@ -40,8 +40,12 @@ def assign_anchors(gt_boxes7, gt_valid, cfg: PillarsConfig,
     # force-match: the best anchor of every valid gt is positive (standard
     # lowest-quality fallback so no gt goes unassigned)
     best_anchor = jnp.argmax(iou, axis=0)            # (G,)
-    force = jnp.zeros(anchors.shape[0], bool).at[best_anchor].set(
-        gt_valid & (jnp.max(iou, axis=0) > 0))
+    # Invalid / zero-IoU gts all argmax to anchor 0; scatter them to a dummy
+    # slot instead so they can't overwrite a real gt's force-match there
+    # (duplicate-index scatter write order is unspecified).
+    force_ok = gt_valid & (jnp.max(iou, axis=0) > 0)
+    idx = jnp.where(force_ok, best_anchor, anchors.shape[0])
+    force = jnp.zeros(anchors.shape[0] + 1, bool).at[idx].set(True)[:-1]
     matched = jnp.where(force, jnp.argmax(jnp.where(
         force[:, None], iou, -1.0), axis=1).astype(jnp.int32), matched)
     pos = pos | force

@@ -29,12 +29,19 @@ from lidar_object_detection_tpu.ops.masks import pack_masks
 
 class StubDetector:
     def __init__(self, camera: CameraCalibration, max_detections: int = 32,
-                 depth_range=(0.0, 40.0), min_size: int = 5, pad: int = 0):
+                 depth_range=(0.0, 40.0), min_size: int = 5, pad: int = 0,
+                 corners_to_cam: Optional[np.ndarray] = None):
         self.camera = camera
         self.max_detections = max_detections
         self.depth_range = depth_range
         self.min_size = min_size
         self.pad = pad
+        # cam0-frame corners -> this camera's projection frame (identity for
+        # cam 0); see data.calib.TransformChain.corners_cam0_to_cam.
+        if corners_to_cam is not None and np.allclose(corners_to_cam,
+                                                      np.eye(4)):
+            corners_to_cam = None
+        self.corners_to_cam = corners_to_cam
 
     def detect_records(self, records: Sequence[FrameRecord]) -> Dict[str, np.ndarray]:
         """GT-box-derived synthetic detections for a list of frames."""
@@ -49,6 +56,9 @@ class StubDetector:
             planes = np.zeros((d, cam.height, cam.width), bool)
             di = 0
             for corners in rec.corners_cam0:
+                if self.corners_to_cam is not None:
+                    T = self.corners_to_cam
+                    corners = corners @ T[:3, :3].T + T[:3, 3]
                 u, v, z = cam.cam2image(corners.T)
                 pos = z > 0
                 if not pos.any():

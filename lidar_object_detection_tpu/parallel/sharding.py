@@ -60,12 +60,18 @@ def point_sharded_fuse_frame(mesh, points, point_valid, mask_bits, det_valid,
     """One frame with the point axis sharded over the ``model`` mesh axis.
 
     Numerically identical to :func:`fuse_frame` (counts are exact integer
-    sums, and psum of f32 integers < 2^24 is associative-safe).
+    sums, and psum of f32 integers < 2^24 is associative-safe).  Matches
+    erosion-enabled configs too: the packed mask image is replicated, so
+    erosion runs once before the shard_map.
     """
     p = params
     n_shards = mesh.shape[MODEL_AXIS]
     if points.shape[0] % n_shards:
         raise ValueError("point count must divide the model axis")
+    if p.erosion_enabled:
+        from lidar_object_detection_tpu.ops import erosion as erosion_lib
+        mask_bits = erosion_lib.erode_packed(
+            mask_bits, p.erosion_kernel_size, p.erosion_iterations)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -64,14 +64,31 @@ class FusionPipeline:
         self.dataset = dataset
         self.config = config
         self.params = FusionParams.from_config(config)
+        t = dataset.transforms
         self.detector = detector or StubDetector(
             dataset.camera, max_detections=config.shapes.max_detections,
-            depth_range=(0.0, config.depth_max))
-        t = dataset.transforms
+            depth_range=(0.0, config.depth_max),
+            corners_to_cam=t.corners_cam0_to_cam)
         self._velo_to_rect = jnp.asarray(t.velo_to_rect, dtype=jnp.float32)
-        self._cam_to_velo = jnp.asarray(t.cam_to_velo, dtype=jnp.float32)
+        # GT corners are annotated in cam0; for cam k>0 they must be moved
+        # into the rectified cam-k frame before projection/visibility, and
+        # the corners->velodyne matrix composes back through cam0_to_velo so
+        # corners_velo is camera-independent (see calib.TransformChain).
+        self._corners_to_cam = (
+            None if dataset.camera.cam_id == 0
+            else jnp.asarray(t.corners_cam0_to_cam, dtype=jnp.float32))
+        self._corners_to_velo = jnp.asarray(t.corners_to_velo,
+                                            dtype=jnp.float32)
         self._intrinsics = jnp.asarray(dataset.camera.intrinsics,
                                        dtype=jnp.float32)
+
+    def _gt_corners(self, batch: FrameBatch) -> jnp.ndarray:
+        """Batch GT corners in the configured camera's projection frame."""
+        corners = jnp.asarray(batch.corners_cam0)
+        if self._corners_to_cam is not None:
+            from lidar_object_detection_tpu.geom.boxes import transform_corners
+            corners = transform_corners(corners, self._corners_to_cam)
+        return corners
 
     # ------------------------------------------------------------------
     def detect(self, records, batch: FrameBatch) -> Dict[str, np.ndarray]:
@@ -88,8 +105,8 @@ class FusionPipeline:
             jnp.asarray(batch.points), jnp.asarray(batch.point_valid),
             jnp.asarray(detections["mask_bits"]),
             jnp.asarray(detections["det_valid"]),
-            jnp.asarray(batch.corners_cam0), jnp.asarray(batch.box_valid),
-            self._velo_to_rect, self._cam_to_velo, self._intrinsics,
+            self._gt_corners(batch), jnp.asarray(batch.box_valid),
+            self._velo_to_rect, self._corners_to_velo, self._intrinsics,
             self.params)
 
     # ------------------------------------------------------------------
@@ -113,7 +130,7 @@ class FusionPipeline:
                     self.config.greedy_min_iou))(
                 jnp.asarray(detections["boxes"]),
                 jnp.asarray(detections["det_valid"]),
-                jnp.asarray(batch.corners_cam0),
+                self._gt_corners(batch),
                 jnp.asarray(fused["box_visible"]))
             match_aux = {"iou": np.asarray(match_iou)}
             match_idx = np.asarray(match_idx)
@@ -127,7 +144,7 @@ class FusionPipeline:
                     c.score_weight_size, c.center_norm))(
                 jnp.asarray(detections["boxes"]),
                 jnp.asarray(detections["det_valid"]),
-                jnp.asarray(batch.corners_cam0),
+                self._gt_corners(batch),
                 jnp.asarray(batch.box_valid))
             match_aux = {"score": np.asarray(m_score),
                          "iou": np.asarray(m_iou)}

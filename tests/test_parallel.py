@@ -71,6 +71,26 @@ def test_point_sharded_fuse_matches_single(frame_inputs, mesh8):
                                       np.asarray(out_ref[key]))
 
 
+def test_point_sharded_fuse_matches_single_with_erosion(frame_inputs, mesh8,
+                                                        dataset):
+    """Erosion-enabled configs (V3/CSV_EVAL) must agree too: the packed mask
+    erodes once on the replicated image before the point shard_map."""
+    _, batch, det, calib = frame_inputs
+    params = FusionParams.from_config(
+        FusionConfig.for_version(PipelineVersion.V3_EROSION))
+    i = 0
+    args = (jnp.asarray(batch.points[i]), jnp.asarray(batch.point_valid[i]),
+            jnp.asarray(det["mask_bits"][i]), jnp.asarray(det["det_valid"][i]),
+            jnp.asarray(batch.corners_cam0[i]), jnp.asarray(batch.box_valid[i]))
+    out_ps = point_sharded_fuse_frame(mesh8, *args, *calib, params=params)
+    out_ref = fuse_frame(*args, jnp.asarray(calib[0]), jnp.asarray(calib[1]),
+                         jnp.asarray(calib[2]), params)
+    for key in ("counts", "total_points", "best_box", "points_inside",
+                "matched"):
+        np.testing.assert_array_equal(np.asarray(out_ps[key]),
+                                      np.asarray(out_ref[key]))
+
+
 def test_param_shardings_rule(mesh8):
     variables = {"params": {
         "layer0": {"conv": {"kernel": jnp.zeros((3, 3, 3, 16))},

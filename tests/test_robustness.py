@@ -48,11 +48,32 @@ def test_camera_1_pipeline(kitti_root):
     ds1 = Kitti360Dataset(kitti_root, cam_id=1, shapes=cfg.shapes)
     assert not np.allclose(ds0.transforms.velo_to_rect,
                            ds1.transforms.velo_to_rect)
+    # cam0's corner chain is the identity (reference parity); cam1's moves
+    # corners into the rectified cam1 frame and back out through cam0.
+    assert np.allclose(ds0.transforms.corners_cam0_to_cam, np.eye(4))
+    assert not np.allclose(ds1.transforms.corners_cam0_to_cam, np.eye(4))
+    # composing the two corner legs must give the cam0->velo chain
+    np.testing.assert_allclose(
+        ds1.transforms.corners_to_velo @ ds1.transforms.corners_cam0_to_cam,
+        ds0.transforms.cam_to_velo, atol=1e-12)
     assert ds1.load_frame(100).image_path.endswith(
         "image_01/data_rect/0000000100.png")
-    result = FusionPipeline(ds1, cfg).run([100])
-    assert len(result.frames) == 1
-    assert result.summary()["matched"] >= 1
+    result1 = FusionPipeline(ds1, cfg).run([100])
+    assert len(result1.frames) == 1
+    assert result1.summary()["matched"] >= 1
+
+    # corners_velo must be camera-independent: whatever camera projected
+    # the boxes, the 3D wireframes live in the one velodyne frame.
+    result0 = FusionPipeline(ds0, cfg).run([100])
+    velo0 = {p["box_index"]: p["corners_velo"]
+             for p in result0.frames[0].matched_pairs}
+    velo1 = {p["box_index"]: p["corners_velo"]
+             for p in result1.frames[0].matched_pairs}
+    common = set(velo0) & set(velo1)
+    assert common
+    for g in common:
+        np.testing.assert_allclose(np.asarray(velo0[g]),
+                                   np.asarray(velo1[g]), atol=1e-3)
 
 
 def test_fuse_frame_jit_eager_parity(dataset, frame100):
