@@ -58,6 +58,24 @@ def main():
     images = ds.load_images(batch)
     n_frames = batch.batch_size
 
+    if os.environ.get("BENCH_COMPACT", "1") == "1":
+        # Serving layout: the C++ loader threads FOV/depth-cull each scan
+        # before upload (exact-output preserving, see CompactionSpec), so
+        # the device sees ~4x fewer points per frame.
+        from lidar_object_detection_tpu.data.native import (
+            CompactionSpec, load_scan_compacted)
+        spec = CompactionSpec.build(
+            ds.transforms.velo_to_rect, ds.camera.intrinsics,
+            cfg.shapes.image_width, cfg.shapes.image_height,
+            cfg.depth_min, cfg.depth_max, max_out=cfg.shapes.max_points // 2)
+        compacted = [load_scan_compacted(ds.scan_path(r.frame_id), spec)
+                     for r in records]
+        p = max(n for _, _, n in compacted)
+        p = ((p + 4095) // 4096) * 4096
+        pts = np.stack([c[0][:p] for c in compacted] * replicas)
+        pv = np.stack([c[1][:p] for c in compacted] * replicas)
+        batch = dataclasses.replace(batch, points=pts, point_valid=pv)
+
     detector = YoloDetector(
         (cfg.shapes.image_height, cfg.shapes.image_width),
         YoloConfig(scale=scale),

@@ -24,9 +24,54 @@
 #include <thread>
 #include <vector>
 
+#include <cmath>
+
 namespace {
 
 constexpr int kFloatsPerPoint = 4;
+
+// Host-side FOV/depth culling ("compaction").  The device pipeline keeps
+// the exact validity test (geom/projection.py:point_validity); the host
+// cull only needs to be CONSERVATIVE -- it may keep extra points (the
+// device masks them) but must never drop a device-valid one.  `margin`
+// (pixels, default 1.0) plus a fixed 1e-3 depth slack absorb any f32
+// scalar-vs-XLA rounding differences; the predicate skips the round()
+// entirely and widens the bounds by margin+0.5 instead.
+struct Compaction {
+  bool enabled = false;
+  float proj[12];   // row-major 3x4: intrinsics @ velo_to_rect[:3, :]
+  float width = 0, height = 0;
+  float depth_min = 0, depth_max = 0;
+  float margin = 1.0f;
+};
+
+// Filter n raw points (in[4n]) into out[max_out*4]; returns the compacted
+// count, or -1 on overflow (caller falls back to the uncompacted path).
+long compact_points(const Compaction& c, const float* in, long n,
+                    float* out, long max_out) {
+  const float* P = c.proj;
+  const float u_lo = -(c.margin + 0.5f), u_hi = c.width - 0.5f + c.margin;
+  const float v_lo = u_lo, v_hi = c.height - 0.5f + c.margin;
+  const float d_lo = c.depth_min - 1e-3f, d_hi = c.depth_max + 1e-3f;
+  long m = 0;
+  for (long i = 0; i < n; ++i) {
+    const float x = in[4 * i], y = in[4 * i + 1], z = in[4 * i + 2];
+    const float pz = P[8] * x + P[9] * y + P[10] * z + P[11];
+    if (!(pz > d_lo && pz < d_hi)) continue;
+    const float az = std::fabs(pz) > 1e-6f ? std::fabs(pz) : 1e-6f;
+    const float pu = (P[0] * x + P[1] * y + P[2] * z + P[3]) / az;
+    const float pv = (P[4] * x + P[5] * y + P[6] * z + P[7]) / az;
+    if (!(pu >= u_lo && pu <= u_hi && pv >= v_lo && pv <= v_hi)) continue;
+    if (m == max_out) return -1;
+    out[4 * m] = x;
+    out[4 * m + 1] = y;
+    out[4 * m + 2] = z;
+    out[4 * m + 3] = in[4 * i + 3];
+    ++m;
+  }
+  std::memset(out + 4 * m, 0, (size_t)(max_out - m) * 4 * sizeof(float));
+  return m;
+}
 
 // Read one .bin scan into out[max_points*4], zero-padded; valid[i] marks
 // real points.  Returns 0 on success, negative errno-style codes otherwise.
@@ -60,6 +105,41 @@ int load_scan_impl(const char* path, float* out, int32_t max_points,
   return 0;
 }
 
+// Read + cull + pad: the compacted variant.  `scratch` is a reusable
+// per-thread raw buffer.  Returns 0 on success, -3 on overflow of either
+// the raw scratch read or the compacted output.
+int load_scan_compact_impl(const char* path, const Compaction& c,
+                           float* out, int32_t max_out, uint8_t* valid,
+                           int32_t* num_points, int32_t* num_raw,
+                           std::vector<float>& scratch) {
+  FILE* f = std::fopen(path, "rb");
+  if (f == nullptr) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long bytes = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (bytes < 0 || bytes % (kFloatsPerPoint * (long)sizeof(float)) != 0) {
+    std::fclose(f);
+    return -2;
+  }
+  long n = bytes / (kFloatsPerPoint * (long)sizeof(float));
+  if ((size_t)(n * kFloatsPerPoint) > scratch.size()) {
+    scratch.resize((size_t)n * kFloatsPerPoint);
+  }
+  size_t want = (size_t)n * kFloatsPerPoint;
+  size_t got = std::fread(scratch.data(), sizeof(float), want, f);
+  std::fclose(f);
+  if (got != want) return -4;
+  long m = compact_points(c, scratch.data(), n, out, max_out);
+  if (m < 0) return -3;
+  if (valid != nullptr) {
+    std::memset(valid, 1, (size_t)m);
+    std::memset(valid + m, 0, (size_t)(max_out - m));
+  }
+  if (num_points != nullptr) *num_points = (int32_t)m;
+  if (num_raw != nullptr) *num_raw = (int32_t)n;
+  return 0;
+}
+
 struct Completed {
   int32_t index;
   int32_t num_points;
@@ -72,6 +152,7 @@ struct Prefetcher {
   std::vector<std::string> paths;
   int32_t max_points;
   size_t queue_depth;
+  Compaction compaction;
 
   std::mutex mu;
   std::condition_variable cv_space;   // producers wait for queue space
@@ -83,6 +164,7 @@ struct Prefetcher {
   std::vector<std::thread> workers;
 
   void worker() {
+    std::vector<float> scratch;
     for (;;) {
       size_t idx;
       {
@@ -94,8 +176,14 @@ struct Prefetcher {
       c.index = (int32_t)idx;
       c.data.resize((size_t)max_points * kFloatsPerPoint);
       c.valid.resize((size_t)max_points);
-      c.status = load_scan_impl(paths[idx].c_str(), c.data.data(),
-                                max_points, c.valid.data(), &c.num_points);
+      if (compaction.enabled) {
+        c.status = load_scan_compact_impl(
+            paths[idx].c_str(), compaction, c.data.data(), max_points,
+            c.valid.data(), &c.num_points, nullptr, scratch);
+      } else {
+        c.status = load_scan_impl(paths[idx].c_str(), c.data.data(),
+                                  max_points, c.valid.data(), &c.num_points);
+      }
       std::unique_lock<std::mutex> lock(mu);
       cv_space.wait(lock,
                     [&] { return done.size() < queue_depth || shutdown; });
@@ -115,19 +203,70 @@ int lidar_load_scan(const char* path, float* out, int32_t max_points,
   return load_scan_impl(path, out, max_points, valid, num_points);
 }
 
-void* lidar_prefetcher_create(const char** paths, int32_t n_paths,
-                              int32_t max_points, int32_t n_threads,
-                              int32_t queue_depth) {
+// Compacted single-scan load: proj is the row-major 3x4
+// intrinsics @ velo_to_rect[:3, :] matrix; points failing the widened
+// FOV/depth test are dropped before padding.  num_raw (optional) receives
+// the pre-cull count.
+int lidar_load_scan_compact(const char* path, const float* proj,
+                            float width, float height, float depth_min,
+                            float depth_max, float margin, float* out,
+                            int32_t max_out, uint8_t* valid,
+                            int32_t* num_points, int32_t* num_raw) {
+  Compaction c;
+  c.enabled = true;
+  std::memcpy(c.proj, proj, 12 * sizeof(float));
+  c.width = width;
+  c.height = height;
+  c.depth_min = depth_min;
+  c.depth_max = depth_max;
+  c.margin = margin;
+  std::vector<float> scratch;
+  return load_scan_compact_impl(path, c, out, max_out, valid, num_points,
+                                num_raw, scratch);
+}
+
+static Prefetcher* prefetcher_init(const char** paths, int32_t n_paths,
+                                   int32_t max_points, int32_t n_threads,
+                                   int32_t queue_depth,
+                                   const Compaction& compaction) {
   auto* p = new Prefetcher();
   p->paths.reserve(n_paths);
   for (int32_t i = 0; i < n_paths; ++i) p->paths.emplace_back(paths[i]);
   p->max_points = max_points;
   p->queue_depth = queue_depth > 0 ? (size_t)queue_depth : 4;
+  p->compaction = compaction;
   int threads = n_threads > 0 ? n_threads : 2;
   for (int t = 0; t < threads; ++t) {
     p->workers.emplace_back(&Prefetcher::worker, p);
   }
   return p;
+}
+
+void* lidar_prefetcher_create(const char** paths, int32_t n_paths,
+                              int32_t max_points, int32_t n_threads,
+                              int32_t queue_depth) {
+  return prefetcher_init(paths, n_paths, max_points, n_threads, queue_depth,
+                         Compaction());
+}
+
+// Prefetcher with in-thread compaction: each worker reads the raw scan and
+// emits only the ~quarter of points that can pass the device's FOV/depth
+// validity, padded to max_out.
+void* lidar_prefetcher_create_compact(const char** paths, int32_t n_paths,
+                                      int32_t max_out, int32_t n_threads,
+                                      int32_t queue_depth, const float* proj,
+                                      float width, float height,
+                                      float depth_min, float depth_max,
+                                      float margin) {
+  Compaction c;
+  c.enabled = true;
+  std::memcpy(c.proj, proj, 12 * sizeof(float));
+  c.width = width;
+  c.height = height;
+  c.depth_min = depth_min;
+  c.depth_max = depth_max;
+  c.margin = margin;
+  return prefetcher_init(paths, n_paths, max_out, n_threads, queue_depth, c);
 }
 
 // Pops the next completed scan (arrival order; frame identity returned via

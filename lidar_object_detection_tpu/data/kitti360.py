@@ -144,6 +144,16 @@ class Kitti360Dataset:
                                    max_points=min(padded,
                                                   self.shapes.max_points))
 
+    def load_boxes(self, frame_id: int) -> Optional[np.ndarray]:
+        """GT corners only -- the cheap path for streaming, where scans
+        arrive from the native prefetcher and must not be re-read."""
+        boxes = load_bounding_boxes(self.bbox_path(frame_id))
+        if not boxes:
+            return None
+        return np.asarray(
+            [b["corners_cam0"] for b in boxes if "corners_cam0" in b],
+            dtype=np.float64).reshape(-1, 8, 3)
+
     def load_frame(self, frame_id: int, require_boxes: bool = True,
                    require_image: bool = True) -> Optional[FrameRecord]:
         try:

@@ -28,7 +28,8 @@ import numpy as np
 
 from lidar_object_detection_tpu.config import (
     FusionConfig, MatchStrategy, PipelineVersion)
-from lidar_object_detection_tpu.data.kitti360 import FrameBatch, Kitti360Dataset
+from lidar_object_detection_tpu.data.kitti360 import (
+    FrameBatch, FrameRecord, Kitti360Dataset)
 from lidar_object_detection_tpu.eval import statistics as stats_lib
 from lidar_object_detection_tpu.fusion import (
     FusionParams, fuse_batch, greedy_iou_match, hungarian_match)
@@ -208,12 +209,36 @@ class FusionPipeline:
         return pairs
 
     # ------------------------------------------------------------------
+    def compaction_spec(self, max_out: Optional[int] = None,
+                        multiple: int = 4096):
+        """The host-cull spec matching this pipeline's device validity test
+        (see :class:`~...data.native.CompactionSpec`): points outside the
+        camera frustum / depth range are dropped in the loader threads, and
+        the device's exact test masks the conservative leftovers, so fusion
+        outputs are identical."""
+        from lidar_object_detection_tpu.data.native import CompactionSpec
+
+        s = self.config.shapes
+        if max_out is None:
+            max_out = s.max_points // 2
+        max_out = max(multiple, (max_out // multiple) * multiple)
+        return CompactionSpec.build(
+            self.dataset.transforms.velo_to_rect,
+            self.dataset.camera.intrinsics, s.image_width, s.image_height,
+            self.config.depth_min, self.config.depth_max, max_out)
+
     def stream(self, frame_ids: Optional[Sequence[int]] = None,
-               chunk: int = 8, store=None):
+               chunk: int = 8, store=None, compact: bool = True,
+               num_threads: int = 2):
         """Streaming full-sequence fusion (BASELINE.json configs[4]):
         the native threaded prefetcher reads scans ahead of the device
         (data/native.py) while fixed-size chunks run through the jitted
         pipeline; results flow into an idempotent MetricStore when given.
+
+        The prefetcher's buffers feed the device directly -- scans are
+        never re-read -- and with ``compact=True`` the loader threads also
+        FOV/depth-cull each scan to half the padded size (exact-output
+        preserving; see :meth:`compaction_spec`).
 
         Yields (frame_id, rows) per processed frame.
         """
@@ -226,35 +251,43 @@ class FusionPipeline:
                if self.dataset.load_bboxes_exists(f)]
         s = self.config.shapes
         paths = [self.dataset.scan_path(f) for f in ids]
-        pre = iter(ScanPrefetcher(paths, s.max_points, num_threads=2,
-                                  queue_depth=2 * chunk))
+        spec = self.compaction_spec() if compact else None
+        pre = iter(ScanPrefetcher(paths, s.max_points,
+                                  num_threads=num_threads,
+                                  queue_depth=2 * chunk, compaction=spec))
 
         pending = []
         done = False
         while not done:
             while len(pending) < chunk:
                 try:
-                    idx, pts, valid, _ = next(pre)
+                    idx, pts, valid, n = next(pre)
                 except StopIteration:
                     done = True
                     break
-                pending.append((ids[idx], pts, valid))
+                pending.append((ids[idx], pts, valid, n))
             if not pending:
                 break
-            batch_ids = [f for f, _, _ in pending[:chunk]]
-            records = [self.dataset.load_frame(f) for f in batch_ids]
-            keep = [(f, r) for f, r in zip(batch_ids, records)
-                    if r is not None]
+            keep = []
+            for fid, pts, valid, n in pending[:chunk]:
+                corners = self.dataset.load_boxes(fid)
+                if corners is None:
+                    continue
+                keep.append((fid, pts, valid, n, corners))
             pending = pending[chunk:]
             if not keep:
                 continue
-            batch = self.dataset.make_batch([r for _, r in keep])
-            detections = self.detect([r for _, r in keep], batch)
+            batch = self._assemble_stream_batch(keep)
+            records = [FrameRecord(frame_id=fid, points=pts[:n],
+                                   corners_cam0=corners,
+                                   image_path=self.dataset.image_path(fid))
+                       for fid, pts, _, n, corners in keep]
+            detections = self.detect(records, batch)
             fused = self.fuse(batch, detections)
             fused_np = {k: np.asarray(v) for k, v in fused.items()
                         if k in ("total_points", "best_box", "points_inside",
                                  "matched", "box_visible")}
-            for i, (fid, _) in enumerate(keep):
+            for i, (fid, *_rest) in enumerate(keep):
                 rows = stats_lib.frame_statistics(
                     fid, fused_np["total_points"][i],
                     fused_np["best_box"][i], fused_np["points_inside"][i],
@@ -263,6 +296,27 @@ class FusionPipeline:
                 if store is not None:
                     store.update_frame(fid, rows)
                 yield fid, rows
+
+    def _assemble_stream_batch(self, keep) -> FrameBatch:
+        """Fixed-shape batch straight from prefetcher buffers: the point
+        arrays are stacked as-delivered (already padded by the loader), only
+        corners get the usual pad-to-max_boxes treatment."""
+        s = self.config.shapes
+        b = len(keep)
+        corners = np.zeros((b, s.max_boxes, 8, 3), np.float32)
+        box_valid = np.zeros((b, s.max_boxes), bool)
+        for i, (_, _, _, _, c) in enumerate(keep):
+            g = c.shape[0]
+            if g > s.max_boxes:
+                raise ValueError(f"{g} boxes exceed max_boxes={s.max_boxes}")
+            corners[i, :g] = c.astype(np.float32)
+            box_valid[i, :g] = True
+        return FrameBatch(
+            frame_ids=np.asarray([k[0] for k in keep], np.int32),
+            points=np.stack([k[1] for k in keep]),
+            point_valid=np.stack([k[2] for k in keep]),
+            corners_cam0=corners, box_valid=box_valid,
+            image_paths=[self.dataset.image_path(k[0]) for k in keep])
 
     # ------------------------------------------------------------------
     def depth_maps(self, frame_ids: Optional[Sequence[int]] = None):

@@ -41,6 +41,71 @@ def test_prefetcher_yields_all_frames(dataset):
         np.testing.assert_array_equal(got[i][1], direct[:2])
 
 
+def _spec(dataset, max_out=32768):
+    return native.CompactionSpec.build(
+        dataset.transforms.velo_to_rect, dataset.camera.intrinsics,
+        dataset.camera.width, dataset.camera.height, 0.0, 50.0, max_out)
+
+
+def test_compacted_load_native_vs_numpy(dataset, frame100, monkeypatch):
+    spec = _spec(dataset)
+    path = dataset.scan_path(100)
+    ref_keep = frame100.points[spec.cull_mask(frame100.points)]
+    assert 0 < len(ref_keep) < frame100.num_points // 2
+
+    if native.native_available():
+        pts, valid, n = native.load_scan_compacted(path, spec)
+        assert n == len(ref_keep)
+        np.testing.assert_array_equal(pts[:n], ref_keep)
+        assert valid[:n].all() and not valid[n:].any()
+        assert (pts[n:] == 0).all()
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_failed", True)
+    pts2, valid2, n2 = native.load_scan_compacted(path, spec)
+    assert n2 == len(ref_keep)
+    np.testing.assert_array_equal(pts2[:n2], ref_keep)
+
+
+def test_compacted_prefetcher(dataset):
+    spec = _spec(dataset)
+    paths = [dataset.scan_path(f) for f in dataset.frame_ids()[:4]]
+    got = {}
+    for idx, pts, valid, n in native.ScanPrefetcher(
+            paths, 0, num_threads=2, compaction=spec):
+        got[idx] = (pts, valid, n)
+    assert set(got) == set(range(4))
+    for i, p in enumerate(paths):
+        ref, _, nref = native.load_scan_compacted(p, spec)
+        assert got[i][2] == nref
+        np.testing.assert_array_equal(got[i][0], ref)
+        assert got[i][0].shape == (spec.max_out, 4)
+
+
+def test_compacted_overflow_raises(dataset):
+    spec = _spec(dataset, max_out=64)
+    with pytest.raises(ValueError):
+        native.load_scan_compacted(dataset.scan_path(100), spec)
+
+
+def test_cull_is_conservative(dataset, frame100):
+    """No device-valid point may be culled: the exact validity test run in
+    f32 over the raw scan must be a subset of the host keep-mask."""
+    import jax.numpy as jnp
+
+    from lidar_object_detection_tpu.geom import projection as proj
+
+    spec = _spec(dataset)
+    pts = jnp.asarray(frame100.points, jnp.float32)
+    u, v, d = proj.project_velo_points(
+        pts, jnp.asarray(dataset.transforms.velo_to_rect, jnp.float32),
+        jnp.asarray(dataset.camera.intrinsics, jnp.float32))
+    exact = np.asarray(proj.point_validity(
+        u, v, d, dataset.camera.width, dataset.camera.height, 0.0, 50.0))
+    keep = spec.cull_mask(frame100.points)
+    assert not (exact & ~keep).any()
+
+
 def test_python_fallback_parity(dataset, frame100, monkeypatch):
     monkeypatch.setattr(native, "_lib", None)
     monkeypatch.setattr(native, "_lib_failed", True)

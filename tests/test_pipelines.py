@@ -139,29 +139,89 @@ def test_cli_run(kitti_root, tmp_path):
     assert head[0] == "ply"
 
 
-def test_streaming_fusion(kitti_root, tmp_path):
+def test_streaming_fusion(kitti_root, tmp_path, monkeypatch):
     from lidar_object_detection_tpu.config import FusionConfig
-    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.data import Kitti360Dataset, kitti360
     from lidar_object_detection_tpu.eval.store import MetricStore
     from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
 
     cfg = FusionConfig.for_version(PipelineVersion.V2_STATS)
     ds = Kitti360Dataset(kitti_root, shapes=cfg.shapes)
     pipe = FusionPipeline(ds, cfg)
+    # the batch runner's reference result, BEFORE scan reads are forbidden
+    batch_run = pipe.run([100])
+
+    # stream() must feed the device from the prefetcher's buffers only --
+    # any scan re-read through the Python loaders is a bug
+    def _no_reread(*a, **k):
+        raise AssertionError("stream() re-read a scan outside the prefetcher")
+    monkeypatch.setattr(kitti360, "load_velodyne_scan", _no_reread)
+    monkeypatch.setattr(Kitti360Dataset, "load_frame", _no_reread)
+
     store = MetricStore(str(tmp_path / "stream.jsonl"))
     seen = []
     for fid, rows in pipe.stream([100, 250, 360], chunk=2, store=store):
         seen.append(fid)
     assert sorted(seen) == [100, 250, 360]
     assert store.frames == [100, 250, 360]
-    # streaming result equals the batch runner's
-    batch_run = pipe.run([100])
+    # streaming (with host-side compaction) equals the batch runner exactly
     stream_rows = [r for r in store.rows() if r["frame"] == 100]
     batch_rows = [r for r in batch_run.csv_rows if r.frame == 100]
-    assert len(stream_rows) == len(batch_rows)
+    assert len(stream_rows) == len(batch_rows) > 0
     for sr, br in zip(stream_rows, batch_rows):
         assert sr["total_points"] == br.total_points
         assert sr["points_inside_bbox"] == br.points_inside_bbox
+
+
+def test_compaction_exactness(dataset, frame100):
+    """Host-culled points give bit-identical fusion outputs: the cull is
+    conservative (margin + depth slack) and the device's exact validity
+    masks the leftovers."""
+    import jax.numpy as jnp
+
+    from lidar_object_detection_tpu.config import FusionConfig
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.data.native import load_scan_compacted
+    from lidar_object_detection_tpu.fusion import FusionParams, fuse_frame
+    from lidar_object_detection_tpu.models.stub import StubDetector
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+
+    cfg = FusionConfig.for_version(PipelineVersion.V3_EROSION)
+    params = FusionParams.from_config(cfg)
+    s = cfg.shapes
+    pipe = FusionPipeline(
+        Kitti360Dataset(dataset.root, shapes=s), cfg)
+    spec = pipe.compaction_spec()
+    det = StubDetector(dataset.camera).detect_records([frame100])
+    calib = (jnp.asarray(dataset.transforms.velo_to_rect, jnp.float32),
+             jnp.asarray(dataset.transforms.cam_to_velo, jnp.float32),
+             jnp.asarray(dataset.camera.intrinsics, jnp.float32))
+    corners = np.zeros((s.max_boxes, 8, 3), np.float32)
+    corners[:frame100.num_boxes] = frame100.corners_cam0
+    bv = np.zeros(s.max_boxes, bool)
+    bv[:frame100.num_boxes] = True
+
+    def run(pts, pv):
+        out = fuse_frame(jnp.asarray(pts), jnp.asarray(pv),
+                         jnp.asarray(det["mask_bits"][0]),
+                         jnp.asarray(det["det_valid"][0]),
+                         jnp.asarray(corners), jnp.asarray(bv),
+                         *calib, params)
+        return {k: np.asarray(out[k]) for k in
+                ("counts", "total_points", "best_box", "points_inside",
+                 "matched")}
+
+    full_pts = np.zeros((s.max_points, 4), np.float32)
+    full_pts[:frame100.num_points] = frame100.points
+    full_pv = np.zeros(s.max_points, bool)
+    full_pv[:frame100.num_points] = True
+    cpts, cpv, n = load_scan_compacted(
+        dataset.scan_path(frame100.frame_id), spec)
+    assert 0 < n < frame100.num_points // 2   # the cull actually culls
+    ref = run(full_pts, full_pv)
+    got = run(cpts, cpv)
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
 
 
 def test_convert_weights_cli_roundtrip(tmp_path):
