@@ -39,6 +39,7 @@ from lidar_object_detection_tpu.geom import projection as proj_lib
 from lidar_object_detection_tpu.ops import erosion as erosion_lib
 from lidar_object_detection_tpu.ops import masks as masks_lib
 from lidar_object_detection_tpu.ops.hungarian import hungarian
+from lidar_object_detection_tpu.ops.lap import lap
 
 
 @dataclasses.dataclass(frozen=True)
@@ -303,8 +304,13 @@ def matching_scores(det_boxes, corners_cam0, intrinsics,
 def hungarian_match(det_boxes, det_valid, corners_cam0, box_valid, intrinsics,
                     min_score: float = 0.3, min_iou: float = 0.15,
                     weight_iou=0.5, weight_center=0.3, weight_size=0.2,
-                    center_norm=1000.0):
+                    center_norm=1000.0, solver: str = "lap"):
     """V5's Hungarian assignment with score/IoU threshold gates (V5:360-368).
+
+    ``solver``: "lap" (default -- the fixed-trip SAP solver, exact and
+    serving-speed on TPU: static control flow, ~ms/frame) or "exact"
+    (the original dynamic-while_loop SAP, kept as the oracle; identical
+    results, slow compile/run on TPU).
 
     Returns (match_idx, score, iou): per-detection assigned GT index (-1 when
     rejected by the gates), with the pair's score and IoU.
@@ -320,7 +326,8 @@ def hungarian_match(det_boxes, det_valid, corners_cam0, box_valid, intrinsics,
     cost = jnp.full((d, c), 2.0, jnp.float32)
     cost = cost.at[:, :g].set(1.0 - score.astype(jnp.float32))
     col_mask = jnp.zeros((c,), bool).at[:g].set(gt_ok)
-    col4row = hungarian(cost, row_mask=det_valid, col_mask=col_mask)
+    solve = lap if solver == "lap" else hungarian
+    col4row = solve(cost, row_mask=det_valid, col_mask=col_mask)
 
     in_range = (col4row >= 0) & (col4row < g)
     safe = jnp.clip(col4row, 0, g - 1)

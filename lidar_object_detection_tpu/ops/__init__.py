@@ -9,6 +9,7 @@ from lidar_object_detection_tpu.ops.erosion import (
     erode_masks,
 )
 from lidar_object_detection_tpu.ops.hungarian import hungarian
+from lidar_object_detection_tpu.ops.lap import lap
 from lidar_object_detection_tpu.ops.nms import nms
 from lidar_object_detection_tpu.ops.pallas_nms import pallas_nms
 from lidar_object_detection_tpu.ops.rotated_iou import (
@@ -23,6 +24,7 @@ __all__ = [
     "erode_packed",
     "erode_masks",
     "hungarian",
+    "lap",
     "nms",
     "pallas_nms",
     "scatter_depth_maps",

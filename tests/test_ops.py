@@ -178,6 +178,81 @@ def test_hungarian_with_masks(rng):
     assert all(c < g for c in col4row)
 
 
+# ------------------------------------------------- fixed-trip LAP (serving)
+
+@pytest.mark.parametrize("r,c", [(1, 5), (3, 10), (8, 8), (32, 64),
+                                 (32, 384)])
+def test_lap_matches_scipy_cost(rng, r, c):
+    from lidar_object_detection_tpu.ops import lap
+
+    for trial in range(3):
+        cost = rng.random((r, c)).astype(np.float32)
+        col4row = np.asarray(lap(jnp.asarray(cost)))
+        assert (col4row >= 0).all()
+        assert len(set(col4row.tolist())) == r      # distinct columns
+        rows, cols = scipy_opt.linear_sum_assignment(cost)
+        got = cost[np.arange(r), col4row].sum()
+        want = cost[rows, cols].sum()
+        assert np.isclose(got, want, atol=1e-5), (trial, got, want)
+
+
+def test_lap_with_masks_matches_scipy(rng):
+    from lidar_object_detection_tpu.ops import lap
+
+    n, d, g = 16, 5, 9
+    cost = np.zeros((n, n), np.float32)
+    real = rng.random((d, g)).astype(np.float32)
+    cost[:d, :g] = real
+    row_mask = np.zeros(n, bool)
+    row_mask[:d] = True
+    col_mask = np.zeros(n, bool)
+    col_mask[:g] = True
+    col4row = np.asarray(lap(jnp.asarray(cost), jnp.asarray(row_mask),
+                             jnp.asarray(col_mask)))[:d]
+    rows, cols = scipy_opt.linear_sum_assignment(real)
+    got = real[np.arange(d), col4row].sum()
+    assert np.isclose(got, real[rows, cols].sum(), atol=1e-5)
+    assert all(cc < g for cc in col4row)
+
+
+def test_lap_vs_exact_on_v5_shapes(rng):
+    """The serving solver must produce the same assignments as the
+    dynamic-while_loop oracle on V5-shaped problems: 32 dets x 384 boxes,
+    scores in [0, 1], sparse validity."""
+    from lidar_object_detection_tpu.ops import lap
+
+    for trial in range(3):
+        cost = (1.0 - rng.random((32, 384))).astype(np.float32)
+        row_mask = rng.random(32) < 0.4
+        col_mask = rng.random(384) < 0.1
+        a = np.asarray(lap(jnp.asarray(cost), jnp.asarray(row_mask),
+                           jnp.asarray(col_mask)))
+        h = np.asarray(hungarian(jnp.asarray(cost), jnp.asarray(row_mask),
+                                 jnp.asarray(col_mask)))
+        real_rows = np.nonzero(row_mask)[0]
+        np.testing.assert_array_equal(a[real_rows], h[real_rows])
+
+
+def test_hungarian_match_lap_agrees_with_exact(dataset, frame100):
+    """End-to-end V5 gate parity between the two solvers on real data."""
+    from lidar_object_detection_tpu.fusion import hungarian_match
+    from lidar_object_detection_tpu.models.stub import StubDetector
+
+    det = StubDetector(dataset.camera).detect_records([frame100])
+    corners = np.zeros((384, 8, 3), np.float32)
+    corners[:frame100.num_boxes] = frame100.corners_cam0
+    bv = np.zeros(384, bool)
+    bv[:frame100.num_boxes] = True
+    K = jnp.asarray(dataset.camera.intrinsics, jnp.float32)
+    args = (jnp.asarray(det["boxes"][0]), jnp.asarray(det["det_valid"][0]),
+            jnp.asarray(corners), jnp.asarray(bv), K)
+    idx_a, score_a, iou_a = hungarian_match(*args, solver="lap")
+    idx_e, score_e, iou_e = hungarian_match(*args, solver="exact")
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_e))
+    np.testing.assert_allclose(np.asarray(score_a), np.asarray(score_e),
+                               atol=1e-5)
+
+
 # ---------------------------------------------------------------- scatter
 
 def test_scatter_depth_maps(rng):
