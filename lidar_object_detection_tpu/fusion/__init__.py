@@ -4,6 +4,7 @@ from lidar_object_detection_tpu.fusion.associate import (
     fuse_batch,
     greedy_iou_match,
     hungarian_match,
+    point_inside_labels,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "fuse_batch",
     "greedy_iou_match",
     "hungarian_match",
+    "point_inside_labels",
 ]

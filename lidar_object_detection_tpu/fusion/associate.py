@@ -242,6 +242,45 @@ def fuse_batch(batch_points, batch_point_valid, batch_mask_bits,
                         batch_det_valid, batch_corners, batch_box_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_detections",))
+def point_inside_labels(points, point_bits, corners_velo, best_box, matched,
+                        num_detections: int):
+    """Per-point inside/outside labels for the matched boxes.
+
+    The reference's V2 analysis cloud needs, for every car, which of its
+    points fell inside the matched GT box
+    (``create_colored_point_cloud_with_bbox_analysis``,
+    V2_point_cloud_without_erosion.py:446-491, via the per-car
+    ``inside_mask``).  ``fuse_frame`` only returns the per-car counts, so
+    this second (cheap) pass recomputes the inside test against just the D
+    matched boxes -- one (P, 3) x (3, 3D) matmul, G/D times less work than
+    the counting pass.
+
+    Args:
+      points: (P, >=3) velodyne points.
+      point_bits: (P,) uint32 packed per-detection membership
+        (``fuse_frame``'s ``point_bits`` output).
+      corners_velo: (G, 8, 3) GT corners in velodyne frame.
+      best_box: (D,) int32 matched box per detection (-1 unmatched).
+      matched: (D,) bool.
+
+    Returns:
+      (P,) uint32: bit d set iff the point belongs to detection d AND lies
+      inside detection d's matched box.
+    """
+    g = corners_velo.shape[0]
+    safe = jnp.clip(best_box, 0, g - 1)
+    best_corners = corners_velo[safe]                       # (D, 8, 3)
+    inside = boxes_lib.points_in_oriented_boxes(
+        points[:, :3], best_corners, box_mask=matched)      # (P, D)
+    member = masks_lib.unpack_point_bits(point_bits, num_detections)  # (D, P)
+    both = member.T & inside                                          # (P, D)
+    weights = (jnp.ones((), jnp.uint32)
+               << jnp.arange(num_detections, dtype=jnp.uint32))
+    return (both.astype(jnp.uint32) * weights[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
+
+
 # ---------------------------------------------------------------------------
 # V4: greedy 2D-IoU matching (V4_BBox_IoU_filtering.py:140-183)
 # ---------------------------------------------------------------------------

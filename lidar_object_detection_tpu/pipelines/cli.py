@@ -76,6 +76,11 @@ def main(argv=None) -> int:
     run_p.add_argument("--output", default="results",
                        help="output dir (master CSV, PLY exports)")
     run_p.add_argument("--export-ply", action="store_true")
+    run_p.add_argument(
+        "--analysis-cloud", choices=["inside_outside", "car_color"],
+        default=None,
+        help="export the V2 per-point bbox-analysis cloud (green/red "
+             "inside-outside labels, or the reference's car colors)")
 
     dm_p = sub.add_parser("depth-maps", help="per-car depth-map export")
     _add_common(dm_p)
@@ -219,6 +224,15 @@ def main(argv=None) -> int:
             export_fusion_scene(path, rec.points[:, :3], None,
                                 fr.matched_pairs)
         print(f"PLY scenes written to {args.output}")
+    if args.analysis_cloud:
+        from lidar_object_detection_tpu.viz.export import write_ply
+        for fr in result.frames:
+            pts, colors, _ = pipe.analysis_cloud(fr.frame_id,
+                                                 mode=args.analysis_cloud)
+            path = os.path.join(args.output,
+                                f"analysis_{fr.frame_id:010d}.ply")
+            write_ply(path, pts, colors)
+        print(f"analysis clouds written to {args.output}")
     return 0
 
 

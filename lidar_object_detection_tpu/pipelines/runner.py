@@ -48,10 +48,17 @@ class FrameResult:
 
 @dataclasses.dataclass
 class RunResult:
+    """``frames_per_s`` is END-TO-END: detection (when this run performed
+    it) + fusion + matching.  ``fusion_frames_per_s`` covers only the
+    post-detection device work; ``detect_s`` is 0.0 when detections were
+    injected by the caller."""
+
     frames: List[FrameResult]
     csv_rows: List[stats_lib.CarStatistics]
-    elapsed_s: float
-    frames_per_s: float
+    elapsed_s: float            # detect_s + fusion/matching time
+    frames_per_s: float         # e2e (same window as elapsed_s)
+    detect_s: float = 0.0
+    fusion_frames_per_s: float = 0.0
 
     def summary(self) -> dict:
         return stats_lib.summarize(self.csv_rows)
@@ -118,8 +125,11 @@ class FusionPipeline:
         if not records:
             return RunResult([], [], 0.0, 0.0)
         batch = self.dataset.make_batch(records)
+        detect_s = 0.0
         if detections is None:
+            td = time.perf_counter()
             detections = self.detect(records, batch)
+            detect_s = time.perf_counter() - td
 
         t0 = time.perf_counter()
         fused = self.fuse(batch, detections)
@@ -175,9 +185,12 @@ class FusionPipeline:
             all_rows.extend(rows)
             if master_csv:
                 stats_lib.append_to_master_csv(rows, master_csv)
-        fps = len(records) / elapsed if elapsed > 0 else 0.0
+        total = elapsed + detect_s
+        fps = len(records) / total if total > 0 else 0.0
+        fusion_fps = len(records) / elapsed if elapsed > 0 else 0.0
         return RunResult(frames=frames, csv_rows=all_rows,
-                         elapsed_s=elapsed, frames_per_s=fps)
+                         elapsed_s=total, frames_per_s=fps,
+                         detect_s=detect_s, fusion_frames_per_s=fusion_fps)
 
     def _matched_pairs(self, i, rec, match_idx, detections, fused_np,
                        match_aux) -> List[dict]:
@@ -317,6 +330,40 @@ class FusionPipeline:
             point_valid=np.stack([k[2] for k in keep]),
             corners_cam0=corners, box_valid=box_valid,
             image_paths=[self.dataset.image_path(k[0]) for k in keep])
+
+    # ------------------------------------------------------------------
+    def analysis_cloud(self, frame_id: int, mode: str = "inside_outside"):
+        """The V2 per-point bbox-analysis cloud
+        (V2_point_cloud_without_erosion.py:446-491): each matched car's
+        points labeled inside/outside its matched GT box.
+
+        Returns (points (N, 3), colors (N, 3) in [0,1], matched corners
+        list) over the frame's valid points.
+        """
+        from lidar_object_detection_tpu.fusion import point_inside_labels
+        from lidar_object_detection_tpu.viz.overlay import (
+            analysis_cloud_colors)
+
+        records = self.dataset.load_frames([frame_id])
+        if not records:
+            raise ValueError(f"frame {frame_id} not loadable")
+        batch = self.dataset.make_batch(records)
+        detections = self.detect(records, batch)
+        fused = self.fuse(batch, detections)
+        d = self.config.shapes.max_detections
+        inside_bits = point_inside_labels(
+            jnp.asarray(batch.points[0]), fused["point_bits"][0],
+            fused["corners_velo"][0], fused["best_box"][0],
+            fused["matched"][0], num_detections=d)
+        valid = np.asarray(batch.point_valid[0])   # real (non-pad) points
+        colors = analysis_cloud_colors(
+            np.asarray(fused["point_bits"][0])[valid],
+            np.asarray(inside_bits)[valid], d, mode=mode)
+        pts = batch.points[0][valid][:, :3]
+        corners = [np.asarray(fused["corners_velo"][0][int(b)])
+                   for b, m in zip(np.asarray(fused["best_box"][0]),
+                                   np.asarray(fused["matched"][0])) if m]
+        return pts, colors, corners
 
     # ------------------------------------------------------------------
     def depth_maps(self, frame_ids: Optional[Sequence[int]] = None):

@@ -61,6 +61,40 @@ def point_colors_from_bits(point_bits: np.ndarray, num_detections: int,
     return out
 
 
+def analysis_cloud_colors(point_bits: np.ndarray, inside_bits: np.ndarray,
+                          num_detections: int,
+                          colors: Optional[Sequence[Tuple[int, int, int]]] = None,
+                          mode: str = "inside_outside",
+                          background=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """Per-point RGB for the V2 bbox-analysis cloud
+    (``create_colored_point_cloud_with_bbox_analysis``,
+    V2_point_cloud_without_erosion.py:446-491).
+
+    ``mode="inside_outside"``: points of a matched car are green when
+    inside its matched GT box, red when outside (the commented-in variant
+    of V2:475-479).  ``mode="car_color"``: both get the car color, exactly
+    what the shipped reference code draws.  Unowned points stay gray.
+    """
+    bits = np.asarray(point_bits)
+    inb = np.asarray(inside_bits)
+    if colors is None:
+        colors = simple_colors(num_detections)
+    out = np.tile(np.asarray(background, np.float64), (bits.shape[0], 1))
+    assigned = np.zeros(bits.shape[0], bool)
+    for d in range(num_detections):
+        member = ((bits >> np.uint32(d)) & 1).astype(bool) & ~assigned
+        inside = ((inb >> np.uint32(d)) & 1).astype(bool)
+        if mode == "inside_outside":
+            out[member & inside] = (0.0, 1.0, 0.0)
+            out[member & ~inside] = (1.0, 0.0, 0.0)
+        else:
+            bgr = colors[d]
+            out[member] = np.asarray([bgr[2], bgr[1], bgr[0]],
+                                     np.float64) / 255.0
+        assigned |= member
+    return out
+
+
 def overlay_masks(image: np.ndarray, masks: np.ndarray,
                   colors: Optional[Sequence[Tuple[int, int, int]]] = None,
                   alpha: float = 0.4) -> np.ndarray:

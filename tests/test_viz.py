@@ -59,3 +59,57 @@ def test_export_scene_uses_pair_colors(tmp_path):
     txt = open(path).read()
     assert "178 178 178" in txt      # 0.7 * 255 gray corners
     assert "255 0 0" in txt          # default red for the colorless pair
+
+
+def test_analysis_cloud_both_colorings(kitti_root, tmp_path):
+    """V2's bbox-analysis cloud (V2:446-491): per-point inside/outside
+    labels for matched cars, exported as PLY in both color modes."""
+    from lidar_object_detection_tpu.config import FusionConfig, PipelineVersion
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+    from lidar_object_detection_tpu.viz.export import write_ply
+
+    cfg = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    ds = Kitti360Dataset(kitti_root, shapes=cfg.shapes)
+    pipe = FusionPipeline(ds, cfg)
+
+    pts, colors, corners = pipe.analysis_cloud(100, mode="inside_outside")
+    assert pts.shape[0] == colors.shape[0] > 0
+    green = (colors == (0.0, 1.0, 0.0)).all(1)
+    red = (colors == (1.0, 0.0, 0.0)).all(1)
+    gray = (colors == (0.5, 0.5, 0.5)).all(1)
+    assert green.any() and red.any()            # both labels present
+    assert (green | red | gray).all()
+    assert len(corners) >= 1                    # matched boxes included
+    # per-detection label counts agree exactly with points_inside_bbox
+    # (colors use first-match-wins ownership, so compare on the raw bits)
+    import jax.numpy as jnp
+    from lidar_object_detection_tpu.fusion import point_inside_labels
+
+    records = ds.load_frames([100])
+    batch = ds.make_batch(records)
+    det = pipe.detect(records, batch)
+    fused = pipe.fuse(batch, det)
+    bits = np.asarray(point_inside_labels(
+        jnp.asarray(batch.points[0]), fused["point_bits"][0],
+        fused["corners_velo"][0], fused["best_box"][0], fused["matched"][0],
+        num_detections=cfg.shapes.max_detections))
+    res = pipe.run([100], detections=det)
+    for row in res.csv_rows:
+        if row.is_matched:
+            got = int(((bits >> np.uint32(row.car_id)) & 1).sum())
+            assert got == row.points_inside_bbox, row
+    assert green.sum() <= sum(r.points_inside_bbox for r in res.csv_rows
+                              if r.is_matched)
+
+    p1 = tmp_path / "analysis_io.ply"
+    write_ply(str(p1), pts, colors)
+    assert p1.exists() and p1.read_text().startswith("ply")
+
+    pts2, colors2, _ = pipe.analysis_cloud(100, mode="car_color")
+    carish = ~(colors2 == (0.5, 0.5, 0.5)).all(1)
+    # car-color mode paints every owned point (inside or outside) alike
+    assert carish.sum() >= (green | red).sum()
+    p2 = tmp_path / "analysis_car.ply"
+    write_ply(str(p2), pts2, colors2)
+    assert p2.exists()
