@@ -1,10 +1,14 @@
 """PointPillars training loss: anchor assignment + focal/smooth-L1/dir.
 
-Assignment uses BEV axis-aligned IoU between anchors and GT boxes
-(positive >= 0.6, negative < 0.45, ignore between -- the paper's car
-thresholds); classification is a focal loss over all non-ignored anchors,
-regression a smooth-L1 on the 7 encoded residuals with ``sin(dyaw)`` for
-the angle channel, plus a 2-way direction cross-entropy.  All GT lists are
+Assignment uses the EXACT rotated BEV IoU between anchors and GT boxes by
+default (``PillarsConfig.assign_iou="rotated"``; positive >= 0.6,
+negative < 0.45, ignore between -- the paper's car thresholds), computed
+in anchor chunks through the vectorized Sutherland-Hodgman op so the
+(107k x 64) pair matrix never materializes its polygon buffers at once.
+``assign_iou="aabb"`` keeps the cheap axis-aligned approximation.
+Classification is a focal loss over all non-ignored anchors, regression a
+smooth-L1 on the 7 encoded residuals with ``sin(dyaw)`` for the angle
+channel, plus a 2-way direction cross-entropy.  All GT lists are
 fixed-size (MAX_GT) with validity masks, so the whole loss jits and shards
 with the training step.
 """
@@ -22,6 +26,64 @@ from lidar_object_detection_tpu.models.pointpillars.decode import (
 from lidar_object_detection_tpu.models.pointpillars.model import PillarsConfig
 
 
+def rotated_iou_chunked(boxes_a, boxes_b, chunk: int = 1024):
+    """(N, 7) x (M, 7) exact rotated BEV IoU, scanned over N-chunks to
+    bound the clip-polygon workspace (ops/rotated_iou.py docstring).
+    The chunk is sized for the batched (vmapped) training assignment:
+    B x chunk x MAX_GT pairs of doubling clip buffers stay well under a
+    GB of transient HBM."""
+    from lidar_object_detection_tpu.ops.rotated_iou import rotated_iou_matrix
+
+    n = boxes_a.shape[0]
+    if n <= chunk:
+        return rotated_iou_matrix(boxes_a, boxes_b)
+    pad = (-n) % chunk
+    a = jnp.pad(boxes_a, ((0, pad), (0, 0)))
+    a = a.reshape(-1, chunk, boxes_a.shape[-1])
+    ious = jax.lax.map(lambda ch: rotated_iou_matrix(ch, boxes_b), a)
+    return ious.reshape(-1, boxes_b.shape[0])[:n]
+
+
+def _rotated_iou_topk(anchors, gt_boxes7, k: int = 512):
+    """Exact rotated IoU, dense (N, G), computed sparsely.
+
+    The polygon-clipping op is gather-bound; running it over every
+    (anchor, gt) pair costs tens of seconds per step.  But
+    ``IoU_rot <= I_aabb / (area_a + area_b - I_aabb)`` (the rotated
+    intersection can't exceed the AABB intersection, and the rotated union
+    is at least areas-minus-that), so any pair whose BOUND is below the
+    negative threshold is provably negative without clipping a single
+    polygon.  We take the top-k anchors per gt by bound (k=512 covers the
+    ~100 anchors a car-sized box can overlap at 0.32 m spacing many times
+    over), clip exactly there, and scatter back into a dense matrix that
+    is ZERO for non-candidates -- identical pos/neg/force decisions, since
+    every untouched pair's true IoU is below any threshold in use.
+    """
+    from lidar_object_detection_tpu.ops.rotated_iou import rotated_iou_matrix
+
+    n, g = anchors.shape[0], gt_boxes7.shape[0]
+    a_aabb = bev_aabb(anchors)
+    g_aabb = bev_aabb(gt_boxes7)
+    x1 = jnp.maximum(a_aabb[:, None, 0], g_aabb[None, :, 0])
+    y1 = jnp.maximum(a_aabb[:, None, 1], g_aabb[None, :, 1])
+    x2 = jnp.minimum(a_aabb[:, None, 2], g_aabb[None, :, 2])
+    y2 = jnp.minimum(a_aabb[:, None, 3], g_aabb[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)   # (N, G)
+    area_a = (anchors[:, 3] * anchors[:, 4])[:, None]
+    area_g = (gt_boxes7[:, 3] * gt_boxes7[:, 4])[None, :]
+    denom = jnp.maximum(area_a + area_g - inter, 1e-9)
+    bound = inter / denom                                       # (N, G)
+
+    k = min(k, n)
+    _, top_idx = jax.lax.top_k(bound.T, k)                      # (G, K)
+    cand = anchors[top_idx]                                     # (G, K, 7)
+    exact = jax.vmap(
+        lambda a_, b_: rotated_iou_matrix(a_, b_[None])[:, 0])(
+        cand, gt_boxes7)                                        # (G, K)
+    return jnp.zeros((n, g), jnp.float32).at[
+        top_idx, jnp.arange(g, dtype=jnp.int32)[:, None]].max(exact)
+
+
 def assign_anchors(gt_boxes7, gt_valid, cfg: PillarsConfig,
                    pos_iou: float = 0.6, neg_iou: float = 0.45):
     """Per-anchor assignment for one frame.
@@ -30,9 +92,12 @@ def assign_anchors(gt_boxes7, gt_valid, cfg: PillarsConfig,
     neg (N,) bool (N = H*W*A anchors).
     """
     anchors = anchor_grid(cfg).reshape(-1, 7)
-    a_aabb = bev_aabb(anchors)
-    g_aabb = bev_aabb(gt_boxes7)
-    iou = iou_2d_matrix(a_aabb, g_aabb)              # (N, G)
+    if cfg.assign_iou == "rotated":
+        iou = _rotated_iou_topk(anchors, gt_boxes7)     # (N, G)
+    else:
+        a_aabb = bev_aabb(anchors)
+        g_aabb = bev_aabb(gt_boxes7)
+        iou = iou_2d_matrix(a_aabb, g_aabb)             # (N, G)
     iou = jnp.where(gt_valid[None, :], iou, 0.0)
     best_iou = jnp.max(iou, axis=1)
     matched = jnp.argmax(iou, axis=1).astype(jnp.int32)

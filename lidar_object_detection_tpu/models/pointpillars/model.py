@@ -39,6 +39,9 @@ class PillarsConfig:
     # anchor geometry (w, l, h, z-center) -- KITTI car anchor
     anchor_size: Tuple[float, float, float] = (1.6, 3.9, 1.56)
     anchor_z: float = -1.0
+    # anchor-assignment IoU: exact "rotated" BEV IoU (default) or the
+    # axis-aligned "aabb" approximation
+    assign_iou: str = "rotated"
 
     @property
     def out_stride(self) -> int:

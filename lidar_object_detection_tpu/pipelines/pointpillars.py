@@ -111,24 +111,70 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
                        batch_frames: int = 4,
                        log_every: int = 10,
                        eval_score_threshold: float = 0.1,
-                       checkpoint_dir: Optional[str] = None) -> Dict:
+                       checkpoint_dir: Optional[str] = None,
+                       augment: bool = True,
+                       gt_sample_max: int = 12,
+                       seed: int = 0,
+                       eval_iou: float = 0.5,
+                       eval_exact: bool = True) -> Dict:
     """Train on the bundled sample (an overfit/regression harness, not a
-    full KITTI training run -- the sample has 19 frames)."""
+    full KITTI training run -- the sample has 19 frames).
+
+    ``augment=True`` applies the Lang et al. section-3 recipe host-side
+    per step: GT-database paste sampling + global rotation/flip/scale
+    (models/pointpillars/augment.py); evaluation always runs on the
+    un-augmented frames.
+    """
+    from lidar_object_detection_tpu.models.pointpillars.augment import (
+        GtDatabase, augment_frame)
+
     cfg = cfg or PillarsConfig()
     shapes = ShapeConfig()
     ds = Kitti360Dataset(dataset_root, shapes=shapes)
-    batch, gt, gt_cls, gt_valid = load_training_batch(ds, frame_ids)
+    records = ds.load_frames(frame_ids, require_image=False)
+    cam_to_velo = ds.transforms.cam_to_velo.astype(np.float32)
+    frames = []
+    for rec in records:
+        corners_velo = np.asarray(transform_corners(
+            jnp.asarray(rec.corners_cam0.astype(np.float32)),
+            jnp.asarray(cam_to_velo)))
+        boxes7 = np.asarray(corners_to_boxes7(corners_velo), np.float32)
+        frames.append((rec.points.astype(np.float32),
+                       boxes7.reshape(-1, 7)))
+    db = GtDatabase.build(frames) if augment else None
+    rng = np.random.default_rng(seed)
+    p_max = shapes.max_points
+
+    def make_batch(sel, train: bool):
+        b = len(sel)
+        pts = np.zeros((b, p_max, 4), np.float32)
+        pv = np.zeros((b, p_max), bool)
+        gt = np.zeros((b, MAX_GT, 7), np.float32)
+        gcls = np.zeros((b, MAX_GT), np.int32)
+        gv = np.zeros((b, MAX_GT), bool)
+        for j, i in enumerate(sel):
+            p, bx = frames[i]
+            if train and augment:
+                room = max(0, MAX_GT - bx.shape[0])
+                p, bx = augment_frame(p, bx, db, rng,
+                                      max_samples=min(gt_sample_max, room))
+            n = min(len(p), p_max)
+            pts[j, :n] = p[:n]
+            pv[j, :n] = True
+            g = min(len(bx), MAX_GT)
+            gt[j, :g] = bx[:g]
+            gv[j, :g] = True
+        return pts, pv, gt, gcls, gv
+
     mesh = make_mesh(jax.devices()[:1])
-    trainer = PillarsTrainer(cfg, mesh, num_points=shapes.max_points,
+    trainer = PillarsTrainer(cfg, mesh, num_points=p_max,
                              learning_rate=learning_rate)
 
-    n = batch.batch_size
+    n = len(frames)
     history: List[float] = []
     for step in range(steps):
         sel = [(step * batch_frames + j) % n for j in range(batch_frames)]
-        metrics = trainer.train_step(
-            batch.points[sel], batch.point_valid[sel], gt[sel],
-            gt_cls[sel], gt_valid[sel])
+        metrics = trainer.train_step(*make_batch(sel, train=True))
         loss = float(metrics["loss"])
         history.append(loss)
         if log_every and step % log_every == 0:
@@ -141,15 +187,19 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
             CheckpointManager)
         CheckpointManager(checkpoint_dir).save(steps, trainer.state)
 
-    # eval on the training frames (overfit sanity)
-    out = trainer.apply(batch.points[:batch_frames],
-                        batch.point_valid[:batch_frames])
+    # eval on the (un-augmented) training frames
+    eval_sel = list(range(min(batch_frames, n)))
+    pts, pv, gt, _, gv = make_batch(eval_sel, train=False)
+    out = trainer.apply(pts, pv)
     results = []
-    for i in range(batch_frames):
+    for i in eval_sel:
         one = jax.tree_util.tree_map(lambda x: x[i], out)
         # overfit-harness threshold: focal-loss confidence ramps slowly on
         # tiny datasets; production decoding uses 0.3
         det = decode_predictions(one, cfg,
-                                 score_threshold=eval_score_threshold)
-        results.append(evaluate_bev(det, gt[i], gt_valid[i]))
+                                 score_threshold=eval_score_threshold,
+                                 rotated_nms=eval_exact)
+        results.append(evaluate_bev(det, gt[i], gv[i],
+                                    iou_threshold=eval_iou,
+                                    exact=eval_exact))
     return {"loss_history": history, "trainer": trainer, "eval": results}
