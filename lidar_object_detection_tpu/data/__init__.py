@@ -11,6 +11,15 @@ from lidar_object_detection_tpu.data.kitti360 import (
     load_velodyne_scan,
     load_bounding_boxes,
 )
+from lidar_object_detection_tpu.data.poses import (
+    PoseTable,
+    SweepAggregate,
+    aggregate_sweeps,
+    load_cam0_to_world,
+    load_pose_table,
+    load_poses_txt,
+    velo_to_world,
+)
 
 __all__ = [
     "CameraCalibration",
@@ -22,4 +31,11 @@ __all__ = [
     "FrameBatch",
     "load_velodyne_scan",
     "load_bounding_boxes",
+    "PoseTable",
+    "SweepAggregate",
+    "aggregate_sweeps",
+    "load_cam0_to_world",
+    "load_pose_table",
+    "load_poses_txt",
+    "velo_to_world",
 ]

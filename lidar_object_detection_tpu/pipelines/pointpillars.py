@@ -104,6 +104,60 @@ def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5,
                              total_det=total_det)
 
 
+def bev_average_precision(dets, gts, iou_threshold: float = 0.5) -> float:
+    """Continuous-interpolation BEV average precision at ``iou_threshold``.
+
+    ``dets``: per frame, an (boxes7 (D,7), scores (D,)) pair of ndarrays;
+    ``gts``: per frame, a (G,7) ndarray.  Detections are ranked globally
+    by score and matched greedily (one GT per detection, rotated IoU), the
+    standard single-class AP protocol (precision envelope integrated over
+    recall).  This is the quality headline for the pure-LiDAR path --
+    the reference has no 3D detector, so there is no parity number; the
+    comparison target is the PointPillars paper's KITTI BEV AP protocol.
+    """
+    from lidar_object_detection_tpu.ops.rotated_iou import rotated_iou_matrix
+
+    rows = []  # (score, frame, det_index)
+    for f, (boxes, scores) in enumerate(dets):
+        for d in range(len(boxes)):
+            rows.append((float(scores[d]), f, d))
+    rows.sort(key=lambda r: -r[0])
+    n_gt = sum(len(g) for g in gts)
+    if n_gt == 0 or not rows:
+        return 0.0
+    iou_cache = {}
+    for f, (boxes, _) in enumerate(dets):
+        if len(boxes) and len(gts[f]):
+            iou_cache[f] = np.asarray(rotated_iou_matrix(
+                jnp.asarray(np.asarray(boxes, np.float32)),
+                jnp.asarray(np.asarray(gts[f], np.float32))))
+    used = {f: np.zeros(len(g), bool) for f, g in enumerate(gts)}
+    tp = np.zeros(len(rows))
+    fp = np.zeros(len(rows))
+    for i, (_, f, d) in enumerate(rows):
+        iou = iou_cache.get(f)
+        if iou is None or iou.shape[1] == 0:
+            fp[i] = 1
+            continue
+        masked = np.where(used[f], -1.0, iou[d])
+        g = int(np.argmax(masked))
+        if masked[g] >= iou_threshold:
+            used[f][g] = True
+            tp[i] = 1
+        else:
+            fp[i] = 1
+    ctp = np.cumsum(tp)
+    cfp = np.cumsum(fp)
+    recall = ctp / n_gt
+    precision = ctp / np.maximum(ctp + cfp, 1)
+    mrec = np.concatenate([[0.0], recall, [recall[-1]]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
 def train_pointpillars(dataset_root: str, steps: int = 50,
                        frame_ids: Optional[Sequence[int]] = None,
                        cfg: Optional[PillarsConfig] = None,

@@ -316,3 +316,58 @@ def test_assignment_rotated_distinguishes_yaw(rng):
     # (the AABB path may or may not cross 0.6 here; the point is the exact
     # path is used by default and is well-behaved)
     assert np.asarray(out_aabb["pos"]).sum() >= 1
+
+
+def test_bev_average_precision_hand_computed():
+    """AP protocol oracle: 2 frames, 3 GT, ranked TP/FP sequence TP,FP,TP
+    -> precision envelope integral = 1*(1/3) + (2/3)*(1/3) = 5/9."""
+    from lidar_object_detection_tpu.pipelines.pointpillars import (
+        bev_average_precision)
+
+    g1 = np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0],
+                   [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32)
+    g2 = np.array([[0.0, 5.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32)
+    # frame 1: one perfect hit (score .9), one miss (score .5, far away)
+    d1 = (np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0],
+                    [50.0, 50.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32),
+          np.array([0.9, 0.5], np.float32))
+    # frame 2: one perfect hit (score .3)
+    d2 = (np.array([[0.0, 5.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32),
+          np.array([0.3], np.float32))
+    ap = bev_average_precision([d1, d2], [g1, g2], iou_threshold=0.5)
+    assert abs(ap - 5.0 / 9.0) < 1e-6
+
+    # perfect ranking, all matched -> AP 1.0
+    ap1 = bev_average_precision(
+        [(g1, np.array([0.9, 0.8], np.float32)),
+         (g2, np.array([0.7], np.float32))], [g1, g2])
+    assert abs(ap1 - 1.0) < 1e-6
+
+    # no detections -> 0; no gt -> 0
+    assert bev_average_precision(
+        [(np.zeros((0, 7), np.float32), np.zeros(0, np.float32))],
+        [g1]) == 0.0
+    assert bev_average_precision([d1], [np.zeros((0, 7), np.float32)]) == 0.0
+
+
+def test_bev_ap_duplicate_detections_count_fp():
+    """A second detection on an already-claimed GT is a false positive."""
+    from lidar_object_detection_tpu.pipelines.pointpillars import (
+        bev_average_precision)
+
+    gt = np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32)
+    dets = (np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0],
+                      [0.1, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32),
+            np.array([0.9, 0.8], np.float32))
+    ap = bev_average_precision([dets], [gt])
+    assert abs(ap - 1.0) < 1e-6  # TP first; trailing FP doesn't cut AP
+    # reversed scores: FP ranked first -> precision at recall 1 is 1/2
+    dets_rev = (dets[0], np.array([0.8, 0.9], np.float32))
+    # the higher-scored near-duplicate still claims the gt (it overlaps
+    # above threshold), so ranking swap keeps AP at 1.0 here; push the
+    # duplicate off-overlap to force a leading FP instead
+    far = (np.array([[30.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0],
+                     [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32),
+           np.array([0.9, 0.8], np.float32))
+    ap_far = bev_average_precision([far], [gt])
+    assert abs(ap_far - 0.5) < 1e-6
