@@ -13,6 +13,8 @@ from lidar_object_detection_tpu.eval.kitti2d import (
 from lidar_object_detection_tpu.eval.store import MetricStore
 from lidar_object_detection_tpu.eval.erosion_study import (
     run_erosion_study, join_runs, analyze as analyze_erosion_study)
+from lidar_object_detection_tpu.eval.xlsx import (
+    export_erosion_workbook, read_xlsx, write_xlsx)
 
 __all__ = [
     "CarStatistics",
@@ -25,6 +27,9 @@ __all__ = [
     "evaluate_image",
     "MetricStore",
     "run_erosion_study",
+    "export_erosion_workbook",
+    "read_xlsx",
+    "write_xlsx",
     "join_runs",
     "analyze_erosion_study",
 ]

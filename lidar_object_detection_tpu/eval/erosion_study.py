@@ -6,11 +6,15 @@ section 6): run the fusion pipeline twice (eroded / raw masks), join the
 per-car rows on (frame, car_id), and compute the workbook's aggregates --
 
 * mean inside-percentage over matched cars of the erosion run
-  (reference: 74.48 %, cell G2 of Ero_vs_NoERo),
+  (reference: 74.48 %, cell G2 of the sheet holding point counts --
+  named ``Ero_stats`` by the workbook's own rels),
 * mean per-car relative improvement of erosion over no-erosion
-  (reference: +7.67 %, cell G2 of Ero_stats),
-* std-dev of the per-car inside-point difference (reference: 5.87,
-  cell E2 of Ero_stats).
+  (reference: +7.67 %, cell G2 of ``Ero_vs_NoERo``; the cached value
+  includes a later-deleted F2 cell, reproduced by averaging
+  ``pct_improvement`` over ALL joined rows),
+* sample std-dev of the per-car inside-percentage difference
+  (reference: 5.87, cell E2 of ``Ero_vs_NoERo`` -- STDEV.S over its A-B
+  columns reproduces the cached 5.869954203375591 exactly).
 
 Reference numbers come from real yolo11x-seg detections; with the stub
 detector the absolute values differ, but the pipeline, join, and formulas
@@ -42,8 +46,19 @@ class ErosionStudyRow:
 
     @property
     def inside_point_diff(self) -> int:
-        """Erosion minus no-erosion inside-point count (Ero_stats col C)."""
+        """Erosion minus no-erosion inside-point count."""
         return self.inside_eroded - self.inside_raw
+
+    @property
+    def inside_pct_diff(self) -> float:
+        """Erosion minus no-erosion inside-%% (Ero_vs_NoERo col C: =A-B).
+
+        This -- not the point-count difference -- is what the reference
+        workbook's 5.87 standard deviation is computed over: recomputing
+        STDEV.S over its sheet's A-B columns reproduces E2's cached
+        5.869954203375591 exactly (BASELINE.md's row wording is loose).
+        """
+        return self.inside_pct_eroded - self.inside_pct_raw
 
     @property
     def pct_improvement(self) -> float:
@@ -59,8 +74,12 @@ class ErosionStudyResult:
     rows: List[ErosionStudyRow]
     mean_inside_pct_eroded: float     # xlsx Ero_vs_NoERo G2
     mean_inside_pct_raw: float
-    mean_pct_improvement: float       # xlsx Ero_stats G2
-    std_inside_point_diff: float      # xlsx Ero_stats E2 (sample std)
+    mean_pct_improvement: float       # xlsx Ero_vs_NoERo G2
+    # xlsx Ero_vs_NoERo E2: STDEV.S of the per-car inside-%% difference
+    # (erosion - none).  Named *_point_diff historically; verified against
+    # the reference workbook to be the PERCENTAGE difference (see
+    # ErosionStudyRow.inside_pct_diff).
+    std_inside_pct_diff: float
 
     def summary(self) -> dict:
         return {
@@ -68,7 +87,7 @@ class ErosionStudyResult:
             "mean_inside_pct_eroded": round(self.mean_inside_pct_eroded, 2),
             "mean_inside_pct_raw": round(self.mean_inside_pct_raw, 2),
             "mean_pct_improvement": round(self.mean_pct_improvement, 2),
-            "std_inside_point_diff": round(self.std_inside_point_diff, 2),
+            "std_inside_pct_diff": round(self.std_inside_pct_diff, 2),
         }
 
 
@@ -102,20 +121,21 @@ def analyze(rows: Sequence[ErosionStudyRow]) -> ErosionStudyResult:
     pct_e = np.asarray([r.inside_pct_eroded for r in rows], np.float64)
     pct_r = np.asarray([r.inside_pct_raw for r in rows], np.float64)
     imp = np.asarray([r.pct_improvement for r in rows], np.float64)
-    diff = np.asarray([r.inside_point_diff for r in rows], np.float64)
+    diff = np.asarray([r.inside_pct_diff for r in rows], np.float64)
     std = float(np.std(diff, ddof=1)) if len(rows) > 1 else 0.0
     return ErosionStudyResult(
         rows=list(rows),
         mean_inside_pct_eroded=float(pct_e.mean()),
         mean_inside_pct_raw=float(pct_r.mean()),
         mean_pct_improvement=float(imp.mean()),
-        std_inside_point_diff=std)
+        std_inside_pct_diff=std)
 
 
 def run_erosion_study(dataset_root: str,
                       frame_ids: Optional[Sequence[int]] = None,
                       detector=None,
-                      output_csv: Optional[str] = None) -> ErosionStudyResult:
+                      output_csv: Optional[str] = None,
+                      output_xlsx: Optional[str] = None) -> ErosionStudyResult:
     """Run both pipelines and analyze (cvs_erosion.py run + xlsx study)."""
     from lidar_object_detection_tpu.config import FusionConfig, PipelineVersion
     from lidar_object_detection_tpu.data import Kitti360Dataset
@@ -135,6 +155,11 @@ def run_erosion_study(dataset_root: str,
                                                     detections=detections)
     rows = join_runs(raw.csv_rows, ero.csv_rows)
     result = analyze(rows)
+    if output_xlsx:
+        from lidar_object_detection_tpu.eval.xlsx import (
+            export_erosion_workbook)
+        export_erosion_workbook(output_xlsx, raw.csv_rows, ero.csv_rows,
+                                result)
     if output_csv:
         import os
 

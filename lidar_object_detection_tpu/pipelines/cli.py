@@ -140,7 +140,9 @@ def main(argv=None) -> int:
         res = run_erosion_study(
             args.dataset, frame_ids=args.frames,
             detector=_build_detector(args, ds),
-            output_csv=os.path.join(args.output, "erosion_study.csv"))
+            output_csv=os.path.join(args.output, "erosion_study.csv"),
+            output_xlsx=os.path.join(args.output,
+                                     "master_car_statistics.csv.xlsx"))
         print("erosion study:", res.summary())
         return 0
 

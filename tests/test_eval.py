@@ -117,8 +117,10 @@ def test_erosion_study_join_and_analyze():
     # improvements: (86.35-85)/85*100, (65.31-60)/60*100
     imp = ((86.35 - 85) / 85 * 100 + (65.31 - 60) / 60 * 100) / 2
     assert res.mean_pct_improvement == pytest.approx(imp)
-    diffs = np.array([2530 - 2550, 640 - 600], float)
-    assert res.std_inside_point_diff == pytest.approx(diffs.std(ddof=1))
+    # the workbook's 5.87 is STDEV.S over the inside-PERCENTAGE
+    # differences (Ero_vs_NoERo col C = A-B), not the point counts
+    diffs = np.array([86.35 - 85.0, 65.31 - 60.0], float)
+    assert res.std_inside_pct_diff == pytest.approx(diffs.std(ddof=1))
 
 
 def test_erosion_study_end_to_end(kitti_root, tmp_path):
