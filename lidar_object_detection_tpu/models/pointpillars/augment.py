@@ -27,17 +27,35 @@ import numpy as np
 
 def points_in_box7(points: np.ndarray, box7: np.ndarray,
                    margin: float = 0.0) -> np.ndarray:
-    """Boolean mask of (N, >=3) points inside one rotated 7-dof box."""
-    xyz = points[:, :3].astype(np.float64)
+    """Boolean mask of (N, >=3) points inside one rotated 7-dof box.
+
+    Computed in the points' own dtype (training data is float32; the
+    <=1-ulp boundary ambiguity is irrelevant for augmentation cut-outs).
+    A cheap BEV-AABB + z prefilter narrows the exact rotated test to the
+    ~0.1 % of a scan near the box, so full-scan calls stay cheap.
+    """
+    xyz = points[:, :3]
     x, y, z, w, l, h, yaw = [float(v) for v in box7]
+    # prefilter: circumscribed AABB (+margin)
+    c0, s0 = abs(np.cos(yaw)), abs(np.sin(yaw))
+    ex = (l * c0 + w * s0) / 2 + margin
+    ey = (l * s0 + w * c0) / 2 + margin
+    near = np.where((np.abs(xyz[:, 0] - x) <= ex)
+                    & (np.abs(xyz[:, 1] - y) <= ey)
+                    & (np.abs(xyz[:, 2] - z) <= h / 2 + margin))[0]
+    out = np.zeros(len(xyz), bool)
+    if near.size == 0:
+        return out
+    sub = xyz[near]
     c, s = np.cos(-yaw), np.sin(-yaw)
-    dx = xyz[:, 0] - x
-    dy = xyz[:, 1] - y
+    dx = sub[:, 0] - x
+    dy = sub[:, 1] - y
     lx = dx * c - dy * s          # rotate into the box frame
     ly = dx * s + dy * c
-    return ((np.abs(lx) <= l / 2 + margin)
-            & (np.abs(ly) <= w / 2 + margin)
-            & (np.abs(xyz[:, 2] - z) <= h / 2 + margin))
+    inside = ((np.abs(lx) <= l / 2 + margin)
+              & (np.abs(ly) <= w / 2 + margin))
+    out[near[inside]] = True
+    return out
 
 
 def _bev_aabb_np(boxes7: np.ndarray) -> np.ndarray:
