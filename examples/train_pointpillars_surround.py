@@ -1,26 +1,17 @@
-"""Overfit-quality run for PointPillars on the bundled KITTI-360 sample.
+"""PointPillars quality run: surround grid + multi-sweep training clouds.
 
-Trains on 4 frames with the Lang et al. augmentation recipe and the exact
-rotated-IoU anchor assignment, evaluating recall and BEV-AP (IoU 0.5)
-periodically on the un-augmented frames.  This is the VERDICT round-2
-quality gate for the pure-LiDAR path (target: recall >= 80/102 on the
-overfit set); results land in a JSON file for ROADMAP/PERFORMANCE.
+The front-sector grid caps overfit recall at 19/102 (only 19 GT boxes lie
+inside it) and single sweeps leave 53/102 boxes with zero LiDAR points.
+This run removes both ceilings: PillarsConfig.kitti360_surround() covers
++-102.4 m, and each training frame is a pose-aggregated multi-sweep cloud
+(data/poses.aggregate_sweeps; 101/102 boxes contain points, 98 with >=10).
 
-Training-throughput notes (single v5e behind the axon relay):
-- host augmentation runs in a producer thread (67 ms/batch after the
-  AABB-prefilter fix) so the device never waits on it;
-- ``--subsample`` caps points per frame (random without replacement):
-  the 8.4 MB/step upload of full 131k-point scans through the relay
-  dominates the step otherwise;
-- metrics are fetched host-side only every 50 steps (each float() is a
-  blocking relay round trip);
-- ``--fade`` disables GT-paste for the last fraction of the run
-  (SECOND's fade trick: the net stops chasing pasted context and
-  re-fits the clean frames);
-- cosine LR decay to 5 % of the 2e-3 peak.
+Recipe: GT-paste + global augmentation (fade for the last 15 %), cosine
+LR decay, random point subsampling to --subsample per step, full-cloud
+eval every 500 steps with rotated-NMS decode, recall + BEV-AP reported.
 
-Usage: python examples/train_pointpillars_overfit.py [steps] [out.json]
-           [--subsample N] [--fade 0.85] [--no-augment] [--frames K]
+Usage: python examples/train_pointpillars_surround.py [steps] [out.json]
+           [--subsample=65536] [--fade=0.85] [--frames=4] [--lr=2e-3]
 """
 
 from __future__ import annotations
@@ -41,8 +32,8 @@ from lidar_object_detection_tpu.pipelines.pointpillars import (
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
-    steps = int(args[0]) if args else 4000
-    out_path = args[1] if len(args) > 1 else "/tmp/pp_overfit.json"
+    steps = int(args[0]) if args else 8000
+    out_path = args[1] if len(args) > 1 else "/tmp/pp_surround.json"
 
     def flag_val(name, default, cast=float):
         for f in flags:
@@ -50,79 +41,68 @@ def main():
                 return cast(f.split("=", 1)[1])
         return default
 
-    subsample = flag_val("subsample", 0, int)       # 0 = full scans
-    fade = flag_val("fade", 1.0, float)             # fraction with paste
+    subsample = flag_val("subsample", 65536, int)
+    fade = flag_val("fade", 0.85, float)
     n_frames = flag_val("frames", 4, int)
-    use_augment = "--no-augment" not in flags
     lr_peak = flag_val("lr", 2e-3, float)
+    eval_points = flag_val("eval-points", 1 << 18, int)
 
     root = "/root/reference/KITTI360_sample"
     chunk = 500
-    cfg = PillarsConfig()
+    cfg = PillarsConfig.kitti360_surround()
     t0 = time.time()
     report = {"chunks": [], "config": {
         "steps": steps, "subsample": subsample, "fade": fade,
-        "augment": use_augment, "frames": n_frames, "lr_peak": lr_peak}}
+        "frames": n_frames, "lr_peak": lr_peak, "grid": "kitti360_surround"}}
 
     from lidar_object_detection_tpu.pipelines import pointpillars as pp
     from lidar_object_detection_tpu.config import ShapeConfig
     from lidar_object_detection_tpu.data.kitti360 import Kitti360Dataset
-    from lidar_object_detection_tpu.geom.boxes import transform_corners
-    from lidar_object_detection_tpu.models.pointpillars import (
-        PillarsTrainer, corners_to_boxes7)
+    from lidar_object_detection_tpu.models.pointpillars import PillarsTrainer
     from lidar_object_detection_tpu.models.pointpillars.augment import (
-        GtDatabase, augment_frame)
+        GtDatabase, augment_frame, global_augment)
     from lidar_object_detection_tpu.parallel.mesh import make_mesh
-    import jax.numpy as jnp
     import optax
 
-    shapes = ShapeConfig()
-    ds = Kitti360Dataset(root, shapes=shapes)
-    records = ds.load_frames(None, require_image=False)[:n_frames]
-    cam_to_velo = ds.transforms.cam_to_velo.astype(np.float32)
-    frames = []
-    for rec in records:
-        corners_velo = np.asarray(transform_corners(
-            jnp.asarray(rec.corners_cam0.astype(np.float32)),
-            jnp.asarray(cam_to_velo)))
-        boxes7 = np.asarray(corners_to_boxes7(corners_velo), np.float32)
-        frames.append((rec.points.astype(np.float32), boxes7.reshape(-1, 7)))
-    db = GtDatabase.build(frames) if use_augment else None
-    p_max = subsample if subsample else shapes.max_points
+    ds = Kitti360Dataset(root, shapes=ShapeConfig())
+    targets = ds.frame_ids()[:n_frames]
+    print(f"aggregating {len(ds.frame_ids())} sweeps into "
+          f"{len(targets)} target frames...", flush=True)
+    frames = pp.load_aggregated_frames(ds, targets, grid=cfg.grid,
+                                       max_points=eval_points)
+    for (p, b) in frames:
+        print(f"  {len(p)} pts, {len(b)} gt boxes", flush=True)
+    db = GtDatabase.build(frames)
+    print(f"gt database: {len(db)} cut-outs "
+          f"({time.time() - t0:.0f}s)", flush=True)
     MAX_GT = pp.MAX_GT
-
-    def make_eval_batch():
-        """Full-resolution clean frames -- recall must not be judged on a
-        subsampled cloud even when training subsamples."""
-        p_full = shapes.max_points
-        b = len(frames)
-        pts = np.zeros((b, p_full, 4), np.float32)
-        pv = np.zeros((b, p_full), bool)
-        gt = np.zeros((b, MAX_GT, 7), np.float32)
-        gv = np.zeros((b, MAX_GT), bool)
-        for j, (p, bx) in enumerate(frames):
-            k = min(len(p), p_full)
-            pts[j, :k] = p[:k]
-            pv[j, :k] = True
-            g = min(len(bx), MAX_GT)
-            gt[j, :g] = bx[:g]
-            gv[j, :g] = True
-        return pts, pv, gt, gv
+    n = len(frames)
 
     mesh = make_mesh(jax.devices()[:1])
     schedule = optax.cosine_decay_schedule(lr_peak, max(steps, 1),
                                            alpha=0.05)
-    trainer = PillarsTrainer(cfg, mesh, num_points=p_max,
+    trainer = PillarsTrainer(cfg, mesh, num_points=subsample,
                              learning_rate=schedule)
-    n = len(frames)
-    eval_sel = list(range(n))
-    e_pts, e_pv, e_gt, e_gv = make_eval_batch()
+
+    # full-cloud eval batch (clean frames, deterministic)
+    p_full = eval_points
+    e_pts = np.zeros((n, p_full, 4), np.float32)
+    e_pv = np.zeros((n, p_full), bool)
+    e_gt = np.zeros((n, MAX_GT, 7), np.float32)
+    e_gv = np.zeros((n, MAX_GT), bool)
+    for j, (p, bx) in enumerate(frames):
+        k = min(len(p), p_full)
+        e_pts[j, :k] = p[:k]
+        e_pv[j, :k] = True
+        g = min(len(bx), MAX_GT)
+        e_gt[j, :g] = bx[:g]
+        e_gv[j, :g] = True
 
     def evaluate(score_threshold=0.1):
         out = trainer.apply(e_pts, e_pv)
         matched = total_gt = total_det = 0
         dets, gts = [], []
-        for i in eval_sel:
+        for i in range(n):
             one = jax.tree_util.tree_map(lambda x: x[i], out)
             det = decode_predictions(one, cfg,
                                      score_threshold=score_threshold,
@@ -136,11 +116,8 @@ def main():
             dets.append((np.asarray(det["boxes7"])[ok],
                          np.asarray(det["scores"])[ok]))
             gts.append(e_gt[i][e_gv[i]])
-        ap = bev_ap(dets, gts)
-        return matched, total_gt, total_det, ap
+        return matched, total_gt, total_det, bev_ap(dets, gts)
 
-    # batch prefetch: host augmentation overlaps the device step; metrics
-    # fetched every 50 steps (each float() is a blocking relay round trip)
     import queue
     import threading
 
@@ -152,25 +129,22 @@ def main():
         s = 0
         while s < steps:
             sel = [int(prng.integers(n)) for _ in range(4)]
-            nonlocal_db = db if s < fade_step else None
             b = len(sel)
-            pts = np.zeros((b, p_max, 4), np.float32)
-            pv = np.zeros((b, p_max), bool)
+            pts = np.zeros((b, subsample, 4), np.float32)
+            pv = np.zeros((b, subsample), bool)
             gt = np.zeros((b, MAX_GT, 7), np.float32)
             gcls = np.zeros((b, MAX_GT), np.int32)
             gv = np.zeros((b, MAX_GT), bool)
             for j, i in enumerate(sel):
                 p, bx = frames[i]
-                if nonlocal_db is not None:
+                if s < fade_step:
                     room = max(0, MAX_GT - bx.shape[0])
-                    p, bx = augment_frame(p, bx, nonlocal_db, prng,
+                    p, bx = augment_frame(p, bx, db, prng,
                                           max_samples=min(12, room))
-                elif use_augment:
-                    from lidar_object_detection_tpu.models.pointpillars \
-                        .augment import global_augment
+                else:
                     p, bx = global_augment(p, bx, prng)
-                if len(p) > p_max:
-                    idx = prng.choice(len(p), p_max, replace=False)
+                if len(p) > subsample:
+                    idx = prng.choice(len(p), subsample, replace=False)
                     p = p[idx]
                 k = len(p)
                 pts[j, :k] = p

@@ -47,6 +47,26 @@ class PillarsConfig:
     def out_stride(self) -> int:
         return 2   # head runs at stride-2 BEV resolution
 
+    @staticmethod
+    def kitti360_surround() -> "PillarsConfig":
+        """Full-surround grid for KITTI-360 multi-sweep clouds.
+
+        The standard front-sector car grid (x 0..69.12) covers only 19 of
+        the 102 GT boxes on the bundled sample's first four frames --
+        KITTI-360 annotates 360 degrees around the ego, out to ~125 m.
+        With pose-aggregated sweeps (data/poses.aggregate_sweeps) 101/102
+        of those boxes contain LiDAR points, so the surround preset makes
+        them reachable: +-102.4 m square at 0.32 m pillars (640x640 BEV,
+        204.8k anchors at the stride-2 head -- fewer than the front
+        preset's 428k).  z widened to the sample's box range (down to
+        -4.5 m on side-street drops).
+        """
+        return PillarsConfig(
+            grid=PillarGridConfig(x_range=(-102.4, 102.4),
+                                  y_range=(-102.4, 102.4),
+                                  z_range=(-5.0, 1.5),
+                                  pillar_size=0.32))
+
 
 class ConvBN(nn.Module):
     out: int

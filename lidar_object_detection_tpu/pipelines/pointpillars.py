@@ -104,6 +104,55 @@ def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5,
                              total_det=total_det)
 
 
+def load_aggregated_frames(dataset: Kitti360Dataset,
+                           target_frames: Sequence[int],
+                           source_frames: Optional[Sequence[int]] = None,
+                           grid=None,
+                           max_points: Optional[int] = None):
+    """Multi-sweep training frames: (points (P, 4), gt boxes7 (G, 7)) per
+    target frame, each cloud pose-aggregated from ``source_frames`` into
+    the target's velodyne coordinates and cropped to ``grid`` bounds.
+
+    KITTI-360 annotates parked cars all around the ego out to ~125 m;
+    single sweeps leave half the GT boxes empty of points (49/102 on the
+    sample's first 4 frames), while aggregating the sample's sweeps fills
+    101/102 -- the pose chain is data/poses.py.  Cropping to the pillar
+    grid keeps the point budget where the detector can use it.
+    """
+    from lidar_object_detection_tpu.data.poses import (aggregate_sweeps,
+                                                       load_pose_table)
+
+    source_frames = list(source_frames or dataset.frame_ids())
+    table = load_pose_table(dataset.root, dataset.seq)
+    cam_to_velo = dataset.transforms.cam_to_velo.astype(np.float32)
+    out = []
+    for tf in target_frames:
+        agg = aggregate_sweeps(dataset, tf, source_frames,
+                               pose_table=table)
+        pts = agg.points[agg.point_valid]
+        if grid is not None:
+            keep = ((pts[:, 0] >= grid.x_range[0])
+                    & (pts[:, 0] <= grid.x_range[1])
+                    & (pts[:, 1] >= grid.y_range[0])
+                    & (pts[:, 1] <= grid.y_range[1])
+                    & (pts[:, 2] >= grid.z_range[0])
+                    & (pts[:, 2] <= grid.z_range[1]))
+            pts = pts[keep]
+        if max_points is not None and len(pts) > max_points:
+            stride_idx = np.linspace(0, len(pts) - 1,
+                                     max_points).astype(np.int64)
+            pts = pts[stride_idx]
+        rec = dataset.load_frame(tf, require_image=False)
+        corners_velo = np.asarray(transform_corners(
+            jnp.asarray(rec.corners_cam0.astype(np.float32)),
+            jnp.asarray(cam_to_velo)))
+        from lidar_object_detection_tpu.models.pointpillars import (
+            corners_to_boxes7 as _c2b)
+        boxes7 = np.asarray(_c2b(corners_velo), np.float32).reshape(-1, 7)
+        out.append((np.ascontiguousarray(pts), boxes7))
+    return out
+
+
 def bev_average_precision(dets, gts, iou_threshold: float = 0.5) -> float:
     """Continuous-interpolation BEV average precision at ``iou_threshold``.
 

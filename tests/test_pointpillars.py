@@ -371,3 +371,44 @@ def test_bev_ap_duplicate_detections_count_fp():
            np.array([0.9, 0.8], np.float32))
     ap_far = bev_average_precision([far], [gt])
     assert abs(ap_far - 0.5) < 1e-6
+
+
+def test_kitti360_surround_preset():
+    cfg = PillarsConfig.kitti360_surround()
+    assert (cfg.grid.nx, cfg.grid.ny) == (640, 640)
+    assert cfg.grid.z_range == (-5.0, 1.5)
+    # head anchors: stride-2 BEV, 2 yaw anchors
+    assert (cfg.grid.nx // cfg.out_stride) * (cfg.grid.ny // cfg.out_stride) \
+        * cfg.num_anchors == 204800
+
+
+def test_load_aggregated_frames(dataset):
+    """Multi-sweep training clouds: cropped to the grid, denser than a
+    single sweep inside it, with the target frame's GT boxes."""
+    from lidar_object_detection_tpu.pipelines.pointpillars import (
+        load_aggregated_frames)
+    from lidar_object_detection_tpu.models.pointpillars import PillarsConfig
+
+    cfg = PillarsConfig.kitti360_surround()
+    ids = dataset.frame_ids()
+    frames = load_aggregated_frames(dataset, ids[:1], source_frames=ids[:3],
+                                    grid=cfg.grid, max_points=200000)
+    (pts, boxes7), = frames
+    g = cfg.grid
+    assert (pts[:, 0] >= g.x_range[0]).all() and \
+        (pts[:, 0] <= g.x_range[1]).all()
+    assert (pts[:, 1] >= g.y_range[0]).all() and \
+        (pts[:, 1] <= g.y_range[1]).all()
+    assert (pts[:, 2] >= g.z_range[0]).all() and \
+        (pts[:, 2] <= g.z_range[1]).all()
+    assert len(pts) <= 200000
+    rec = dataset.load_frame(ids[0], require_image=False)
+    assert len(boxes7) == rec.corners_cam0.shape[0]
+    # aggregation brings in structure a single sweep can't see: more GT
+    # boxes contain points than with the target sweep alone
+    from lidar_object_detection_tpu.models.pointpillars.augment import (
+        points_in_box7)
+    single = rec.points.astype(np.float32)
+    multi_hit = sum(points_in_box7(pts, b).any() for b in boxes7)
+    single_hit = sum(points_in_box7(single, b).any() for b in boxes7)
+    assert multi_hit > single_hit
