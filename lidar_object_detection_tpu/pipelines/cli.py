@@ -98,6 +98,14 @@ def main(argv=None) -> int:
     _add_common(pp_p, detector=False)
     pp_p.add_argument("--steps", type=int, default=50)
     pp_p.add_argument("--checkpoint-dir", default=None)
+    pp_p.add_argument("--surround", action="store_true",
+                      help="360-degree KITTI-360 grid "
+                           "(PillarsConfig.kitti360_surround)")
+    pp_p.add_argument("--aggregate-sweeps", action="store_true",
+                      help="train on pose-aggregated multi-sweep clouds "
+                           "(data/poses.py)")
+    pp_p.add_argument("--max-points", type=int, default=None,
+                      help="subsample training clouds to this many points")
 
     cw_p = sub.add_parser("convert-weights",
                           help="torch state dict -> orbax checkpoint for "
@@ -151,7 +159,10 @@ def main(argv=None) -> int:
             train_pointpillars)
         out = train_pointpillars(args.dataset, steps=args.steps,
                                  frame_ids=args.frames,
-                                 checkpoint_dir=args.checkpoint_dir)
+                                 checkpoint_dir=args.checkpoint_dir,
+                                 surround=args.surround,
+                                 aggregate=args.aggregate_sweeps,
+                                 max_points=args.max_points)
         evals = out["eval"]
         last = (f"{out['loss_history'][-1]:.4f}" if out["loss_history"]
                 else "n/a (0 steps)")

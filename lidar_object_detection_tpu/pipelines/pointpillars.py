@@ -219,7 +219,10 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
                        gt_sample_max: int = 12,
                        seed: int = 0,
                        eval_iou: float = 0.5,
-                       eval_exact: bool = True) -> Dict:
+                       eval_exact: bool = True,
+                       surround: bool = False,
+                       aggregate: bool = False,
+                       max_points: Optional[int] = None) -> Dict:
     """Train on the bundled sample (an overfit/regression harness, not a
     full KITTI training run -- the sample has 19 frames).
 
@@ -227,26 +230,38 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
     per step: GT-database paste sampling + global rotation/flip/scale
     (models/pointpillars/augment.py); evaluation always runs on the
     un-augmented frames.
+
+    ``surround=True`` selects :meth:`PillarsConfig.kitti360_surround`
+    (360-degree grid); ``aggregate=True`` trains on pose-aggregated
+    multi-sweep clouds (:func:`load_aggregated_frames`) -- together they
+    lift the front-sector / single-sweep coverage ceilings (19/102 grid,
+    49/102 point coverage on the sample's first 4 frames).
     """
     from lidar_object_detection_tpu.models.pointpillars.augment import (
         GtDatabase, augment_frame)
 
-    cfg = cfg or PillarsConfig()
+    cfg = cfg or (PillarsConfig.kitti360_surround() if surround
+                  else PillarsConfig())
     shapes = ShapeConfig()
     ds = Kitti360Dataset(dataset_root, shapes=shapes)
-    records = ds.load_frames(frame_ids, require_image=False)
-    cam_to_velo = ds.transforms.cam_to_velo.astype(np.float32)
-    frames = []
-    for rec in records:
-        corners_velo = np.asarray(transform_corners(
-            jnp.asarray(rec.corners_cam0.astype(np.float32)),
-            jnp.asarray(cam_to_velo)))
-        boxes7 = np.asarray(corners_to_boxes7(corners_velo), np.float32)
-        frames.append((rec.points.astype(np.float32),
-                       boxes7.reshape(-1, 7)))
+    p_max = max_points or shapes.max_points
+    if aggregate:
+        targets = list(frame_ids or ds.frame_ids())
+        frames = load_aggregated_frames(ds, targets, grid=cfg.grid,
+                                        max_points=p_max)
+    else:
+        records = ds.load_frames(frame_ids, require_image=False)
+        cam_to_velo = ds.transforms.cam_to_velo.astype(np.float32)
+        frames = []
+        for rec in records:
+            corners_velo = np.asarray(transform_corners(
+                jnp.asarray(rec.corners_cam0.astype(np.float32)),
+                jnp.asarray(cam_to_velo)))
+            boxes7 = np.asarray(corners_to_boxes7(corners_velo), np.float32)
+            frames.append((rec.points.astype(np.float32),
+                           boxes7.reshape(-1, 7)))
     db = GtDatabase.build(frames) if augment else None
     rng = np.random.default_rng(seed)
-    p_max = shapes.max_points
 
     def make_batch(sel, train: bool):
         b = len(sel)
@@ -261,8 +276,12 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
                 room = max(0, MAX_GT - bx.shape[0])
                 p, bx = augment_frame(p, bx, db, rng,
                                       max_samples=min(gt_sample_max, room))
-            n = min(len(p), p_max)
-            pts[j, :n] = p[:n]
+            if len(p) > p_max:
+                # random subsample -- paste-augmented points sit at the
+                # tail, so a plain truncation would drop exactly them
+                p = p[rng.choice(len(p), p_max, replace=False)]
+            n = len(p)
+            pts[j, :n] = p
             pv[j, :n] = True
             g = min(len(bx), MAX_GT)
             gt[j, :g] = bx[:g]
