@@ -95,3 +95,72 @@ def rotated_iou_matrix(boxes_a, boxes_b):
     area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
     union = area_a + area_b - inter
     return jnp.where(union > 1e-9, inter / union, 0.0)
+
+
+def rotated_iou_matrix_np(boxes_a, boxes_b):
+    """NumPy twin of :func:`rotated_iou_matrix` for HOST-side eval paths.
+
+    Same gap-filled Sutherland-Hodgman math, vectorized over all (N, M)
+    pairs with NumPy.  Exists because ragged eval code (AP ranking,
+    greedy matching over per-frame detection counts) would otherwise
+    re-trace the jitted op for every distinct (N, M) -- each retrace is a
+    fresh XLA compile, which through the axon relay costs tens of
+    seconds.  Parity with the jitted op is pinned in
+    tests/test_rotated_iou.py.
+    """
+    import numpy as np
+
+    a = np.asarray(boxes_a, np.float64).reshape(-1, 7)
+    b = np.asarray(boxes_b, np.float64).reshape(-1, 7)
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+
+    def corners(bx):
+        x, y = bx[:, 0], bx[:, 1]
+        w, l, yaw = bx[:, 3], bx[:, 4], bx[:, 6]
+        c, s = np.cos(yaw), np.sin(yaw)
+        lx = np.stack([l / 2, -l / 2, -l / 2, l / 2], -1)
+        ly = np.stack([w / 2, w / 2, -w / 2, -w / 2], -1)
+        gx = x[:, None] + lx * c[:, None] - ly * s[:, None]
+        gy = y[:, None] + lx * s[:, None] + ly * c[:, None]
+        return np.stack([gx, gy], -1)                # (K, 4, 2)
+
+    ca = corners(a)[:, None]                         # (N, 1, 4, 2)
+    cb = corners(b)[None]                            # (1, M, 4, 2)
+    poly = np.broadcast_to(ca, (n, m, 4, 2)).copy()  # (N, M, V, 2)
+    for j in range(4):
+        p1 = cb[..., j, :]                           # (1, M, 2)
+        p2 = cb[..., (j + 1) % 4, :]
+        v = poly.shape[2]
+        nxt = np.roll(poly, -1, axis=2)
+        d = p2 - p1                                  # (1, M, 2)
+        rel = poly - p1[:, :, None, :]
+        rel_n = nxt - p1[:, :, None, :]
+        num = d[:, :, None, 0] * rel[..., 1] - d[:, :, None, 1] * rel[..., 0]
+        num_n = (d[:, :, None, 0] * rel_n[..., 1]
+                 - d[:, :, None, 1] * rel_n[..., 0])
+        inside = num >= 0
+        inside_n = num_n >= 0
+        denom = num - num_n
+        t = num / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        x = poly + (nxt - poly) * t[..., None]
+        cand = np.stack([x, nxt], axis=3).reshape(n, m, 2 * v, 2)
+        valid = np.stack([inside != inside_n, inside_n],
+                         axis=3).reshape(n, m, 2 * v)
+        idx = np.arange(2 * v)
+        marked = np.where(valid, idx, -1)
+        last = np.maximum.accumulate(marked, axis=2)
+        wrap = marked.max(axis=2, keepdims=True)
+        fill = np.where(last < 0, wrap, last)
+        poly = np.take_along_axis(
+            cand, np.clip(fill, 0, 2 * v - 1)[..., None].repeat(2, -1),
+            axis=2)
+        poly = np.where((wrap >= 0)[..., None], poly, 0.0)
+    nxt = np.roll(poly, -1, axis=2)
+    inter = 0.5 * np.abs(np.sum(
+        poly[..., 0] * nxt[..., 1] - nxt[..., 0] * poly[..., 1], axis=2))
+    area_a = (a[:, 3] * a[:, 4])[:, None]
+    area_b = (b[:, 3] * b[:, 4])[None, :]
+    union = area_a + area_b - inter
+    return np.where(union > 1e-9, inter / union, 0.0)

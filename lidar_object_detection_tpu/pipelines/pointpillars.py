@@ -82,10 +82,11 @@ def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5,
     gt_np = np.asarray(gt_boxes7)
     if det_ok.any() and gt_ok.any():
         if exact:
+            # host twin: ragged shapes here would retrace the jitted op
+            # per (D, G) combination (a fresh compile each eval round)
             from lidar_object_detection_tpu.ops.rotated_iou import (
-                rotated_iou_matrix)
-            iou = np.asarray(rotated_iou_matrix(
-                jnp.asarray(det_boxes[det_ok]), jnp.asarray(gt_np[gt_ok])))
+                rotated_iou_matrix_np)
+            iou = rotated_iou_matrix_np(det_boxes[det_ok], gt_np[gt_ok])
         else:
             d_aabb = np.asarray(bev_aabb(jnp.asarray(det_boxes[det_ok])))
             g_aabb = np.asarray(bev_aabb(jnp.asarray(gt_np[gt_ok])))
@@ -164,7 +165,8 @@ def bev_average_precision(dets, gts, iou_threshold: float = 0.5) -> float:
     the reference has no 3D detector, so there is no parity number; the
     comparison target is the PointPillars paper's KITTI BEV AP protocol.
     """
-    from lidar_object_detection_tpu.ops.rotated_iou import rotated_iou_matrix
+    from lidar_object_detection_tpu.ops.rotated_iou import (
+        rotated_iou_matrix_np)
 
     rows = []  # (score, frame, det_index)
     for f, (boxes, scores) in enumerate(dets):
@@ -177,9 +179,7 @@ def bev_average_precision(dets, gts, iou_threshold: float = 0.5) -> float:
     iou_cache = {}
     for f, (boxes, _) in enumerate(dets):
         if len(boxes) and len(gts[f]):
-            iou_cache[f] = np.asarray(rotated_iou_matrix(
-                jnp.asarray(np.asarray(boxes, np.float32)),
-                jnp.asarray(np.asarray(gts[f], np.float32))))
+            iou_cache[f] = rotated_iou_matrix_np(boxes, gts[f])
     used = {f: np.zeros(len(g), bool) for f, g in enumerate(gts)}
     tp = np.zeros(len(rows))
     fp = np.zeros(len(rows))

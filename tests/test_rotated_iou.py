@@ -141,3 +141,21 @@ def test_rotated_nms_in_decode():
         {k: jnp.asarray(v) for k, v in outputs.items()}, cfg,
         score_threshold=0.3, iou_threshold=0.3, rotated_nms=True)
     assert int(np.asarray(det2["valid"]).sum()) == 2  # 0.258 < 0.3 survives
+
+
+def test_numpy_twin_matches_jitted(rng):
+    """rotated_iou_matrix_np (host eval path) == the jitted op."""
+    from lidar_object_detection_tpu.ops.rotated_iou import (
+        rotated_iou_matrix_np)
+    a = np.stack([rng.uniform(-10, 10, 7) for _ in range(17)]).astype(
+        np.float32)
+    b = np.stack([rng.uniform(-10, 10, 7) for _ in range(23)]).astype(
+        np.float32)
+    for arr in (a, b):
+        arr[:, 3:6] = np.abs(arr[:, 3:6]) + 0.5     # positive sizes
+    jitted = np.asarray(rotated_iou_matrix(jnp.asarray(a), jnp.asarray(b)))
+    twin = rotated_iou_matrix_np(a, b)
+    np.testing.assert_allclose(twin, jitted, atol=2e-5)
+    # empty operands
+    assert rotated_iou_matrix_np(np.zeros((0, 7)), b).shape == (0, 23)
+    assert rotated_iou_matrix_np(a, np.zeros((0, 7))).shape == (17, 0)
