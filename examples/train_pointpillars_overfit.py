@@ -39,6 +39,9 @@ from lidar_object_detection_tpu.pipelines.pointpillars import (
 
 
 def main():
+    from lidar_object_detection_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     steps = int(args[0]) if args else 4000

@@ -12,6 +12,12 @@ eval every 500 steps with rotated-NMS decode, recall + BEV-AP reported.
 
 Usage: python examples/train_pointpillars_surround.py [steps] [out.json]
            [--subsample=65536] [--fade=0.85] [--frames=4] [--lr=2e-3]
+           [--cache=/tmp/pp_frames.npz] [--ckpt=/tmp/pp_ckpt.msgpack]
+
+``--cache`` memoizes the pose-aggregated clouds (the aggregation +
+GT-database build costs ~8 min); ``--ckpt`` saves train state after every
+eval chunk and resumes from it on restart, so a killed run loses at most
+one chunk.
 """
 
 from __future__ import annotations
@@ -30,6 +36,9 @@ from lidar_object_detection_tpu.pipelines.pointpillars import (
 
 
 def main():
+    from lidar_object_detection_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     steps = int(args[0]) if args else 8000
@@ -46,6 +55,8 @@ def main():
     n_frames = flag_val("frames", 4, int)
     lr_peak = flag_val("lr", 2e-3, float)
     eval_points = flag_val("eval-points", 1 << 18, int)
+    cache_path = flag_val("cache", "", str)
+    ckpt_path = flag_val("ckpt", "", str)
 
     root = "/root/reference/KITTI360_sample"
     chunk = 500
@@ -54,6 +65,11 @@ def main():
     report = {"chunks": [], "config": {
         "steps": steps, "subsample": subsample, "fade": fade,
         "frames": n_frames, "lr_peak": lr_peak, "grid": "kitti360_surround"}}
+    try:
+        with open(out_path) as f:
+            report["chunks"] = json.load(f).get("chunks", [])
+    except (OSError, ValueError):
+        pass
 
     from lidar_object_detection_tpu.pipelines import pointpillars as pp
     from lidar_object_detection_tpu.config import ShapeConfig
@@ -64,12 +80,25 @@ def main():
     from lidar_object_detection_tpu.parallel.mesh import make_mesh
     import optax
 
-    ds = Kitti360Dataset(root, shapes=ShapeConfig())
-    targets = ds.frame_ids()[:n_frames]
-    print(f"aggregating {len(ds.frame_ids())} sweeps into "
-          f"{len(targets)} target frames...", flush=True)
-    frames = pp.load_aggregated_frames(ds, targets, grid=cfg.grid,
-                                       max_points=eval_points)
+    import os
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        nf = int(z["n"])
+        frames = [(z[f"p{i}"], z[f"b{i}"]) for i in range(nf)]
+        print(f"loaded {nf} cached aggregated frames from {cache_path}",
+              flush=True)
+    else:
+        ds = Kitti360Dataset(root, shapes=ShapeConfig())
+        targets = ds.frame_ids()[:n_frames]
+        print(f"aggregating {len(ds.frame_ids())} sweeps into "
+              f"{len(targets)} target frames...", flush=True)
+        frames = pp.load_aggregated_frames(ds, targets, grid=cfg.grid,
+                                           max_points=eval_points)
+        if cache_path:
+            arrs = {"n": np.int32(len(frames))}
+            for i, (p, b) in enumerate(frames):
+                arrs[f"p{i}"], arrs[f"b{i}"] = p, b
+            np.savez(cache_path, **arrs)
     for (p, b) in frames:
         print(f"  {len(p)} pts, {len(b)} gt boxes", flush=True)
     db = GtDatabase.build(frames)
@@ -83,6 +112,28 @@ def main():
                                            alpha=0.05)
     trainer = PillarsTrainer(cfg, mesh, num_points=subsample,
                              learning_rate=schedule)
+
+    from flax import serialization
+    from lidar_object_detection_tpu.parallel.train import TrainState
+    start_step = 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        with open(ckpt_path, "rb") as f:
+            tmpl = (trainer.state.variables, trainer.state.opt_state,
+                    trainer.state.step)
+            v, o, s = serialization.from_bytes(tmpl, f.read())
+        trainer.state = TrainState(variables=v, opt_state=o, step=s)
+        start_step = int(np.asarray(s))
+        print(f"resumed from {ckpt_path} at step {start_step}", flush=True)
+
+    def save_ckpt():
+        if not ckpt_path:
+            return
+        st = jax.device_get((trainer.state.variables,
+                             trainer.state.opt_state, trainer.state.step))
+        tmp = ckpt_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(st))
+        os.replace(tmp, ckpt_path)
 
     # full-cloud eval batch (clean frames, deterministic)
     p_full = eval_points
@@ -125,8 +176,8 @@ def main():
     fade_step = int(steps * fade)
 
     def producer():
-        prng = np.random.default_rng(1)
-        s = 0
+        prng = np.random.default_rng(1 + start_step)
+        s = start_step
         while s < steps:
             sel = [int(prng.integers(n)) for _ in range(4)]
             b = len(sel)
@@ -157,7 +208,7 @@ def main():
 
     threading.Thread(target=producer, daemon=True).start()
 
-    step = 0
+    step = start_step
     while step < steps:
         losses = []
         m = None
@@ -173,6 +224,7 @@ def main():
                 break
         if not losses:
             losses.append(float(m["loss"]))
+        save_ckpt()
         matched, total_gt, total_det, ap = evaluate()
         entry = {"step": step, "loss": losses[-1],
                  "mean_loss": float(np.mean(losses)),

@@ -8,6 +8,8 @@ from lidar_object_detection_tpu.models.pointpillars.decode import (
 from lidar_object_detection_tpu.models.pointpillars.loss import (
     assign_anchors, pointpillars_loss)
 from lidar_object_detection_tpu.models.pointpillars.train import PillarsTrainer
+from lidar_object_detection_tpu.models.pointpillars.center import (
+    CenterHead, center_loss, decode_center, render_center_targets)
 
 __all__ = [
     "PillarGridConfig", "pillar_ids", "point_features", "scatter_bev",
@@ -15,4 +17,5 @@ __all__ = [
     "anchor_grid", "encode_boxes", "decode_boxes", "bev_aabb",
     "decode_predictions", "corners_to_boxes7",
     "assign_anchors", "pointpillars_loss", "PillarsTrainer",
+    "CenterHead", "center_loss", "decode_center", "render_center_targets",
 ]

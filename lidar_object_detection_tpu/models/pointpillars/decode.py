@@ -101,7 +101,16 @@ def decode_predictions(outputs, cfg: PillarsConfig,
         (ops/rotated_iou.py) instead of the BEV-AABB approximation.
 
     Returns dict: boxes7 (M, 7), scores (M,), classes (M,), valid (M,).
+
+    With ``cfg.head == "center"`` the outputs are CenterPoint heads and
+    decoding dispatches to :func:`..center.decode_center` (NMS-free peak
+    decode; ``iou_threshold``/``rotated_nms`` are ignored there).
     """
+    if cfg.head == "center":
+        from lidar_object_detection_tpu.models.pointpillars.center import (
+            decode_center)
+        return decode_center(outputs, cfg, score_threshold=score_threshold,
+                             max_detections=max_detections)
     anchors = anchor_grid(cfg)
     n = int(np.prod(outputs["cls"].shape[:-1]))
     cls = outputs["cls"].reshape(n, -1)

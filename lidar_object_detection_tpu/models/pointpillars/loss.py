@@ -143,7 +143,15 @@ def pointpillars_loss(outputs, gt_boxes7, gt_classes, gt_valid,
         dir (B, H, W, A, 2)).
       gt_boxes7: (B, MAX_GT, 7); gt_classes: (B, MAX_GT) int32;
       gt_valid: (B, MAX_GT) bool.
+
+    With ``cfg.head == "center"`` the outputs are the CenterPoint heads
+    and the loss dispatches to :func:`..center.center_loss` (same metric
+    dict keys, so the train step is head-agnostic).
     """
+    if cfg.head == "center":
+        from lidar_object_detection_tpu.models.pointpillars.center import (
+            center_loss)
+        return center_loss(outputs, gt_boxes7, gt_classes, gt_valid, cfg)
     b = outputs["cls"].shape[0]
     nc = cfg.num_classes
     anchors = anchor_grid(cfg).reshape(-1, 7)

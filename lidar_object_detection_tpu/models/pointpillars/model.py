@@ -42,6 +42,9 @@ class PillarsConfig:
     # anchor-assignment IoU: exact "rotated" BEV IoU (default) or the
     # axis-aligned "aabb" approximation
     assign_iou: str = "rotated"
+    # detection head family: "ssd" (anchor-based, Lang et al. 2019) or
+    # "center" (CenterPoint heatmap head, models/pointpillars/center.py)
+    head: str = "ssd"
 
     @property
     def out_stride(self) -> int:
@@ -225,4 +228,9 @@ class PointPillars(nn.Module):
             points, valid, train)
         x = Backbone2D(self.cfg, dtype=self.dtype, name="backbone")(
             bev.astype(self.dtype), train)
+        if self.cfg.head == "center":
+            from lidar_object_detection_tpu.models.pointpillars.center \
+                import CenterHead
+            return CenterHead(self.cfg, dtype=self.dtype,
+                              name="center_head")(x, train)
         return SSDHead(self.cfg, dtype=self.dtype, name="head")(x)

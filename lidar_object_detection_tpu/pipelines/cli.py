@@ -106,6 +106,9 @@ def main(argv=None) -> int:
                            "(data/poses.py)")
     pp_p.add_argument("--max-points", type=int, default=None,
                       help="subsample training clouds to this many points")
+    pp_p.add_argument("--head", default="ssd", choices=("ssd", "center"),
+                      help="detection head family: anchor-based SSD or the "
+                           "CenterPoint heatmap head (NMS-free decode)")
 
     cw_p = sub.add_parser("convert-weights",
                           help="torch state dict -> orbax checkpoint for "
@@ -162,7 +165,8 @@ def main(argv=None) -> int:
                                  checkpoint_dir=args.checkpoint_dir,
                                  surround=args.surround,
                                  aggregate=args.aggregate_sweeps,
-                                 max_points=args.max_points)
+                                 max_points=args.max_points,
+                                 head=args.head)
         evals = out["eval"]
         last = (f"{out['loss_history'][-1]:.4f}" if out["loss_history"]
                 else "n/a (0 steps)")

@@ -222,7 +222,8 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
                        eval_exact: bool = True,
                        surround: bool = False,
                        aggregate: bool = False,
-                       max_points: Optional[int] = None) -> Dict:
+                       max_points: Optional[int] = None,
+                       head: Optional[str] = None) -> Dict:
     """Train on the bundled sample (an overfit/regression harness, not a
     full KITTI training run -- the sample has 19 frames).
 
@@ -242,6 +243,9 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
 
     cfg = cfg or (PillarsConfig.kitti360_surround() if surround
                   else PillarsConfig())
+    if head is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, head=head)
     shapes = ShapeConfig()
     ds = Kitti360Dataset(dataset_root, shapes=shapes)
     p_max = max_points or shapes.max_points

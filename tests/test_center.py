@@ -1,0 +1,188 @@
+"""CenterPoint head: gaussian target rendering, loss descent, peak decode
+round trip, and dispatch through the shared train/decode entry points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_object_detection_tpu.models.pointpillars import (
+    PillarGridConfig, PillarsConfig, PillarsTrainer, PointPillars,
+    center_loss, decode_center, decode_predictions, pointpillars_loss,
+    render_center_targets)
+from lidar_object_detection_tpu.models.pointpillars.center import (
+    gaussian_radius, penalty_reduced_focal)
+from lidar_object_detection_tpu.ops.rotated_iou import rotated_iou_matrix
+
+TINY_GRID = PillarGridConfig(x_range=(0.0, 20.48), y_range=(-10.24, 10.24),
+                             pillar_size=0.32)
+TINY = PillarsConfig(grid=TINY_GRID, embed_dim=16,
+                     backbone_channels=(16, 32, 64),
+                     backbone_layers=(1, 1, 1), up_channels=16,
+                     head="center")
+
+G = 8
+
+
+def _gt(boxes):
+    """Ragged list of (7,) boxes -> fixed (G, 7/cls/valid)."""
+    gt = np.zeros((G, 7), np.float32)
+    cls = np.zeros((G,), np.int32)
+    valid = np.zeros((G,), bool)
+    for i, b in enumerate(boxes):
+        gt[i] = b
+        valid[i] = True
+    return jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(valid)
+
+
+BOX_A = [10.0, 2.0, -1.0, 1.8, 4.2, 1.6, 0.4]
+BOX_B = [5.0, -5.0, -0.8, 1.6, 3.9, 1.5, -1.2]
+
+
+class TestRenderTargets:
+    def test_peak_is_one_at_center_cell(self):
+        gt, cls, valid = _gt([BOX_A])
+        t = render_center_targets(gt, cls, valid, TINY)
+        heat = np.asarray(t["heat"])
+        cell = TINY.grid.pillar_size * TINY.out_stride
+        ix = int((BOX_A[0] - TINY.grid.x_range[0]) / cell)
+        iy = int((BOX_A[1] - TINY.grid.y_range[0]) / cell)
+        assert heat[iy, ix, 0] == pytest.approx(1.0)
+        assert heat.max() == pytest.approx(1.0)
+        # gaussian decays away from the center
+        assert heat[iy, ix + 3, 0] < heat[iy, ix + 1, 0] < 1.0
+        assert np.asarray(t["mask"]).sum() == 1
+        h, w = heat.shape[:2]
+        assert int(t["ind"][0]) == iy * w + ix
+
+    def test_outside_grid_is_masked(self):
+        gt, cls, valid = _gt([[100.0, 0.0, -1.0, 1.6, 3.9, 1.5, 0.0]])
+        t = render_center_targets(gt, cls, valid, TINY)
+        assert not bool(t["mask"][0])
+        assert float(jnp.max(t["heat"])) == 0.0
+
+    def test_two_boxes_compose_by_max(self):
+        gt, cls, valid = _gt([BOX_A, BOX_B])
+        t = render_center_targets(gt, cls, valid, TINY)
+        assert np.asarray(t["mask"]).sum() == 2
+        assert float(jnp.sum(t["heat"] >= 1.0 - 1e-6)) == 2
+
+    def test_reg_targets(self):
+        gt, cls, valid = _gt([BOX_A])
+        t = render_center_targets(gt, cls, valid, TINY)
+        reg = np.asarray(t["reg"][0])
+        assert 0.0 <= reg[0] < 1.0 and 0.0 <= reg[1] < 1.0
+        assert reg[2] == pytest.approx(BOX_A[2])
+        assert np.exp(reg[3]) == pytest.approx(BOX_A[3], rel=1e-5)
+        assert np.exp(reg[4]) == pytest.approx(BOX_A[4], rel=1e-5)
+        assert reg[6] == pytest.approx(np.sin(BOX_A[6]), abs=1e-6)
+        assert reg[7] == pytest.approx(np.cos(BOX_A[6]), abs=1e-6)
+
+
+def test_gaussian_radius_matches_overlap_cases():
+    # a 10x10-cell box: all three CornerNet cases give r where IoU ~ 0.7
+    r = float(gaussian_radius(jnp.float32(10.0), jnp.float32(10.0)))
+    assert 0.0 < r < 10.0
+    # shifting the box diagonally by r keeps IoU >= min_overlap (case 3)
+    s = 10.0
+    inter = (s - r) ** 2
+    union = 2 * s * s - inter
+    assert inter / union >= 0.7 - 0.02
+
+
+def test_focal_loss_zero_for_perfect_prediction():
+    targets = jnp.zeros((4, 4, 1)).at[1, 1, 0].set(1.0)
+    logits = jnp.where(targets >= 1.0, 20.0, -20.0)
+    loss = float(jnp.sum(penalty_reduced_focal(logits, targets)))
+    assert loss < 1e-3
+
+
+class TestDecodeRoundTrip:
+    def _perfect_outputs(self, gt, cls, valid):
+        t = render_center_targets(gt, cls, valid, TINY)
+        heat = t["heat"]
+        logits = jnp.log(jnp.clip(heat, 1e-6, 1 - 1e-6) /
+                         (1 - jnp.clip(heat, 1e-6, 1 - 1e-6)))
+        h, w = heat.shape[:2]
+        reg = jnp.zeros((h * w, 8)).at[t["ind"]].set(t["reg"]).reshape(
+            h, w, 8)
+        return {"heat": logits, "reg": reg}
+
+    def test_recovers_gt_boxes(self):
+        gt, cls, valid = _gt([BOX_A, BOX_B])
+        out = self._perfect_outputs(gt, cls, valid)
+        det = decode_center(out, TINY, score_threshold=0.5)
+        ok = np.asarray(det["valid"])
+        assert ok.sum() == 2
+        boxes = np.asarray(det["boxes7"])[ok]
+        iou = np.asarray(rotated_iou_matrix(jnp.asarray(boxes), gt[:2]))
+        # each decoded box matches one gt near-exactly
+        assert iou.max(axis=1).min() > 0.99
+        # z / dims / yaw are exact up to float32
+        order = iou.argmax(axis=1)
+        np.testing.assert_allclose(boxes[:, 2:6],
+                                   np.asarray(gt)[order, 2:6], atol=1e-4)
+
+    def test_decode_predictions_dispatches_on_head(self):
+        gt, cls, valid = _gt([BOX_A])
+        out = self._perfect_outputs(gt, cls, valid)
+        det = decode_predictions(out, TINY, score_threshold=0.5)
+        assert np.asarray(det["valid"]).sum() == 1
+
+    def test_empty_heatmap_decodes_empty(self):
+        h, w = TINY.grid.ny // 2, TINY.grid.nx // 2
+        out = {"heat": jnp.full((h, w, 1), -20.0),
+               "reg": jnp.zeros((h, w, 8))}
+        det = decode_center(out, TINY, score_threshold=0.1)
+        assert np.asarray(det["valid"]).sum() == 0
+
+
+class TestCenterTraining:
+    def test_loss_jits_and_descends(self, rng):
+        from lidar_object_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices("cpu")[:1])
+        trainer = PillarsTrainer(TINY, mesh, num_points=512,
+                                 learning_rate=5e-3)
+        pts = rng.uniform(0, 20, (2, 512, 4)).astype(np.float32)
+        pts[..., 1] = rng.uniform(-10, 10, (2, 512))
+        pts[..., 2] = rng.uniform(-2.5, 0.5, (2, 512))
+        pv = np.ones((2, 512), bool)
+        gt = np.zeros((2, G, 7), np.float32)
+        gcls = np.zeros((2, G), np.int32)
+        gv = np.zeros((2, G), bool)
+        gt[0, 0], gv[0, 0] = BOX_A, True
+        gt[1, 0], gv[1, 0] = BOX_B, True
+        first = last = None
+        for _ in range(12):
+            m = trainer.train_step(pts, pv, gt, gcls, gv)
+            loss = float(m["loss"])
+            if first is None:
+                first = loss
+            last = loss
+        assert last < first
+        assert float(m["num_pos"]) == 2
+
+    def test_model_forward_shapes(self):
+        model = PointPillars(TINY)
+        pts = jnp.zeros((1, 64, 4))
+        pv = jnp.zeros((1, 64), bool)
+        variables = model.init(jax.random.PRNGKey(0), pts, pv)
+        out = model.apply(variables, pts, pv)
+        h = TINY.grid.ny // TINY.out_stride
+        w = TINY.grid.nx // TINY.out_stride
+        assert out["heat"].shape == (1, h, w, 1)
+        assert out["reg"].shape == (1, h, w, 8)
+
+    def test_loss_dispatch(self):
+        """pointpillars_loss routes to center_loss when cfg.head=center."""
+        gt = jnp.zeros((1, G, 7))
+        gcls = jnp.zeros((1, G), jnp.int32)
+        gv = jnp.zeros((1, G), bool)
+        h = TINY.grid.ny // TINY.out_stride
+        w = TINY.grid.nx // TINY.out_stride
+        out = {"heat": jnp.zeros((1, h, w, 1)),
+               "reg": jnp.zeros((1, h, w, 8))}
+        a = pointpillars_loss(out, gt, gcls, gv, TINY)
+        b = center_loss(out, gt, gcls, gv, TINY)
+        assert float(a["loss"]) == float(b["loss"])
