@@ -13,6 +13,7 @@ eval every 500 steps with rotated-NMS decode, recall + BEV-AP reported.
 Usage: python examples/train_pointpillars_surround.py [steps] [out.json]
            [--subsample=65536] [--fade=0.85] [--frames=4] [--lr=2e-3]
            [--cache=/tmp/pp_frames.npz] [--ckpt=/tmp/pp_ckpt.msgpack]
+           [--head=ssd|center]
 
 ``--cache`` memoizes the pose-aggregated clouds (the aggregation +
 GT-database build costs ~8 min); ``--ckpt`` saves train state after every
@@ -57,14 +58,18 @@ def main():
     eval_points = flag_val("eval-points", 1 << 18, int)
     cache_path = flag_val("cache", "", str)
     ckpt_path = flag_val("ckpt", "", str)
+    head = flag_val("head", "ssd", str)
+    no_augment = "--no-augment" in flags   # pure clean-frame overfit polish
 
     root = "/root/reference/KITTI360_sample"
     chunk = 500
-    cfg = PillarsConfig.kitti360_surround()
+    import dataclasses
+    cfg = dataclasses.replace(PillarsConfig.kitti360_surround(), head=head)
     t0 = time.time()
     report = {"chunks": [], "config": {
         "steps": steps, "subsample": subsample, "fade": fade,
-        "frames": n_frames, "lr_peak": lr_peak, "grid": "kitti360_surround"}}
+        "frames": n_frames, "lr_peak": lr_peak, "head": head,
+        "grid": "kitti360_surround"}}
     try:
         with open(out_path) as f:
             report["chunks"] = json.load(f).get("chunks", [])
@@ -188,7 +193,9 @@ def main():
             gv = np.zeros((b, MAX_GT), bool)
             for j, i in enumerate(sel):
                 p, bx = frames[i]
-                if s < fade_step:
+                if no_augment:
+                    pass
+                elif s < fade_step:
                     room = max(0, MAX_GT - bx.shape[0])
                     p, bx = augment_frame(p, bx, db, prng,
                                           max_samples=min(12, room))
