@@ -412,3 +412,47 @@ def test_load_aggregated_frames(dataset):
     multi_hit = sum(points_in_box7(pts, b).any() for b in boxes7)
     single_hit = sum(points_in_box7(single, b).any() for b in boxes7)
     assert multi_hit > single_hit
+
+
+def test_trainer_state_serialization_round_trip(rng):
+    """flax.serialization round trip of the full TrainState (variables +
+    opt_state incl. the schedule count + step) -- the checkpoint/resume
+    path of examples/train_pointpillars_surround.py."""
+    import optax
+    from flax import serialization
+
+    from lidar_object_detection_tpu.parallel.mesh import make_mesh
+    from lidar_object_detection_tpu.parallel.train import TrainState
+
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    sched = optax.cosine_decay_schedule(2e-3, 100)
+    trainer = PillarsTrainer(TINY, mesh, num_points=256, learning_rate=sched)
+    pts = rng.uniform(0, 20, (1, 256, 4)).astype(np.float32)
+    pv = np.ones((1, 256), bool)
+    gt = np.zeros((1, 4, 7), np.float32)
+    gt[0, 0] = [10, 2, -1, 1.6, 3.9, 1.5, 0.3]
+    gv = np.zeros((1, 4), bool)
+    gv[0, 0] = True
+    trainer.train_step(pts, pv, gt, np.zeros((1, 4), np.int32), gv)
+
+    blob = serialization.to_bytes(jax.device_get(
+        (trainer.state.variables, trainer.state.opt_state,
+         trainer.state.step)))
+
+    fresh = PillarsTrainer(TINY, mesh, num_points=256, learning_rate=sched,
+                           seed=7)
+    tmpl = (fresh.state.variables, fresh.state.opt_state, fresh.state.step)
+    v, o, s = serialization.from_bytes(tmpl, blob)
+    fresh.state = TrainState(variables=v, opt_state=o, step=s)
+    assert int(np.asarray(s)) == 1
+
+    a = jax.tree_util.tree_leaves(trainer.state.variables)
+    b = jax.tree_util.tree_leaves(fresh.state.variables)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # both trainers take the identical next step
+    m1 = trainer.train_step(pts, pv, gt, np.zeros((1, 4), np.int32), gv)
+    m2 = fresh.train_step(pts, pv, gt, np.zeros((1, 4), np.int32), gv)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
