@@ -8,12 +8,21 @@ may flip.  This script measures, on the bundled 20-frame sample:
   1. mask-pixel flip rate (f32 vs bf16 assembly, same detections),
   2. the downstream effect on per-car fusion counts (inside/total deltas).
 
-Caveat: no real yolo11x-seg checkpoint exists in this environment
-(BASELINE.md "Reproducibility status"), so the detector runs with random
-weights -- mask *geometry* is arbitrary, but the drift mechanism
-(bilinear resample + 0.5 threshold in reduced precision) is the same one
-real masks face at their boundaries; the flip-rate-per-boundary-pixel
-statistic transfers.
+Two measurements:
+
+  A. **Synthetic saturated masks** (the meaningful one): car-like
+     elliptical masks with a logistic edge profile are injected through
+     the exact ``_assemble_masks`` path (identity mask coefficients, so
+     sigmoid(coef @ protos) reproduces the injected probabilities).
+     Real segmentation masks are saturated (~0 / ~1) away from a 1-2
+     proto-pixel boundary band; only bilinear outputs within bf16
+     epsilon of the 0.5 threshold can flip, so the flip rate per
+     boundary-band pixel is the statistic that transfers to real
+     weights.
+  B. The random-weight detector end to end -- DEGENERATE by
+     construction: random proto x coef logits are ~0 everywhere, i.e.
+     every pixel sits exactly at the 0.5 threshold, so flips count noise,
+     not drift (reported for completeness; see "degenerate" fields).
 
 Writes one JSON line; run on the TPU chip.
 """
@@ -96,13 +105,59 @@ def main():
     rel_total = np.abs(t16 - t32)[sel] / np.maximum(t32[sel], 1)
     rel_inside = np.abs(i16 - i32)[sel] / np.maximum(i32[sel], 1)
 
+    # --- A. synthetic saturated masks through the same assembly path ---
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        LetterboxSpec, _assemble_masks)
+
+    src_h, src_w = shape
+    spec = LetterboxSpec.build(src_h, src_w)
+    mh, mw = spec.dst_h // 4, spec.dst_w // 4   # proto resolution
+    d = 16
+    rng = np.random.default_rng(0)
+    yy, xx = np.meshgrid(np.arange(mh, dtype=np.float32),
+                         np.arange(mw, dtype=np.float32), indexing="ij")
+    protos = np.zeros((mh, mw, d), np.float32)
+    boxes = np.zeros((d, 4), np.float32)
+    for i in range(d):
+        cy = rng.uniform(10, mh - 10)
+        cx = rng.uniform(20, mw - 20)
+        ry = rng.uniform(4, 14)          # car-sized at proto res
+        rx = rng.uniform(8, 40)
+        k = rng.uniform(2.0, 6.0)        # logistic edge sharpness (px)
+        r = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
+        protos[:, :, i] = k * (1.0 - r) * max(ry, rx)  # saturated logits
+        # full-image boxes: the crop is not the mechanism under test
+        boxes[i] = [0.0, 0.0, src_w, src_h]
+    coef = np.eye(d, dtype=np.float32)   # sigmoid(coef @ protos) = masks
+    dv = np.ones(d, bool)
+    s32 = np.asarray(_assemble_masks(jnp.asarray(protos), jnp.asarray(coef),
+                                     jnp.asarray(boxes), jnp.asarray(dv),
+                                     spec, fast=False))
+    s16 = np.asarray(_assemble_masks(jnp.asarray(protos), jnp.asarray(coef),
+                                     jnp.asarray(boxes), jnp.asarray(dv),
+                                     spec, fast=True))
+    syn_flips = int(np.unpackbits(np.bitwise_xor(s32, s16).view(np.uint8),
+                                  bitorder="little").sum())
+    syn_set = int(np.unpackbits(s32.view(np.uint8),
+                                bitorder="little").sum())
+    us = s32 != 0
+    inte = us.copy()
+    inte[1:, :] &= us[:-1, :]
+    inte[:-1, :] &= us[1:, :]
+    inte[:, 1:] &= us[:, :-1]
+    inte[:, :-1] &= us[:, 1:]
+    syn_boundary = int((us & ~inte).sum())
+
     print(json.dumps({
         "scale": scale,
-        "mask_pixels_set_f32": set32,
-        "mask_pixel_flips": flips,
-        "flip_rate_vs_set": flips / max(set32, 1),
-        "boundary_pixels": boundary,
-        "flip_rate_vs_boundary": flips / max(boundary, 1),
+        "synthetic_mask_pixels_set": syn_set,
+        "synthetic_flips": syn_flips,
+        "synthetic_flip_rate_vs_set": syn_flips / max(syn_set, 1),
+        "synthetic_boundary_pixels": syn_boundary,
+        "synthetic_flip_rate_vs_boundary": syn_flips / max(syn_boundary, 1),
+        "degenerate_randomweight_pixels_set_f32": set32,
+        "degenerate_randomweight_flips": flips,
+        "degenerate_randomweight_boundary": boundary,
         "cars_with_points": int(sel.sum()),
         "max_rel_total_count_drift": float(rel_total.max()) if sel.any()
         else 0.0,
