@@ -201,3 +201,25 @@ def corners_to_boxes7(corners):
     yaw = jnp.arctan2(lvec[..., 1], lvec[..., 0])
     return jnp.stack([center[..., 0], center[..., 1], center[..., 2],
                       w, l, h, yaw], axis=-1)
+
+
+def boxes7_to_corners(boxes7):
+    """(…, 7) boxes -> (…, 8, 3) corners in the KITTI-360 layout of
+    :func:`corners_to_boxes7` (its exact inverse for upright boxes):
+    c0 at -L/2,-W/2,-H/2 with c1=c0+H, c2=c0+W, c3=c0+W+H, c5=c0+L,
+    c4=c0+L+H, c7=c0+L+W, c6=c0+L+W+H.  Used to render predicted boxes
+    through the same viz/export path as GT corners."""
+    b = jnp.asarray(boxes7)
+    c, s = jnp.cos(b[..., 6]), jnp.sin(b[..., 6])
+    zero = jnp.zeros_like(c)
+    lhat = jnp.stack([c, s, zero], axis=-1)               # length axis
+    what = jnp.stack([-s, c, zero], axis=-1)              # width axis
+    zhat = jnp.stack([zero, zero, jnp.ones_like(c)], axis=-1)
+    L = b[..., 4:5] * lhat
+    W = b[..., 3:4] * what
+    H = b[..., 5:6] * zhat
+    c0 = b[..., :3] - 0.5 * (L + W + H)
+    offsets = jnp.stack([
+        jnp.zeros_like(c0), H, W, W + H, L + H, L, L + W + H, L + W,
+    ], axis=-2)                                           # (…, 8, 3)
+    return c0[..., None, :] + offsets

@@ -110,6 +110,22 @@ def main(argv=None) -> int:
                       help="detection head family: anchor-based SSD or the "
                            "CenterPoint heatmap head (NMS-free decode)")
 
+    pi_p = sub.add_parser("pointpillars-infer",
+                          help="run a trained PointPillars checkpoint over "
+                               "dataset frames (detections JSON + optional "
+                               "PLY scenes)")
+    _add_common(pi_p, detector=False)
+    pi_p.add_argument("--ckpt", required=True,
+                      help="checkpoint from the surround training runner "
+                           "(flax msgpack of (variables, opt_state, step))")
+    pi_p.add_argument("--output", default="pp_detections")
+    pi_p.add_argument("--surround", action="store_true")
+    pi_p.add_argument("--aggregate-sweeps", action="store_true")
+    pi_p.add_argument("--head", default="ssd", choices=("ssd", "center"))
+    pi_p.add_argument("--score-threshold", type=float, default=0.3)
+    pi_p.add_argument("--max-points", type=int, default=None)
+    pi_p.add_argument("--export-ply", action="store_true")
+
     cw_p = sub.add_parser("convert-weights",
                           help="torch state dict -> orbax checkpoint for "
                                "the Flax YOLOv11-seg")
@@ -173,6 +189,19 @@ def main(argv=None) -> int:
         print(f"final loss: {last}; eval "
               f"recall={sum(e.matched for e in evals)}/"
               f"{sum(e.total_gt for e in evals)}")
+        return 0
+
+    if args.cmd == "pointpillars-infer":
+        from lidar_object_detection_tpu.pipelines.pointpillars import (
+            infer_pointpillars)
+        dets = infer_pointpillars(
+            args.dataset, args.ckpt, frame_ids=args.frames,
+            surround=args.surround, aggregate=args.aggregate_sweeps,
+            head=args.head, max_points=args.max_points,
+            score_threshold=args.score_threshold, output_dir=args.output,
+            export_ply=args.export_ply)
+        total = sum(len(d["boxes7"]) for d in dets)
+        print(f"{len(dets)} frames, {total} detections -> {args.output}")
         return 0
 
     if args.cmd == "kitti2d":

@@ -329,3 +329,106 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
                                     iou_threshold=eval_iou,
                                     exact=eval_exact))
     return {"loss_history": history, "trainer": trainer, "eval": results}
+
+
+def load_pillars_variables(ckpt_path: str):
+    """Model variables from a surround-runner checkpoint.
+
+    The runner (examples/train_pointpillars_surround.py) serializes the
+    tuple ``(variables, opt_state, step)`` with flax msgpack; restoring
+    without a template (``msgpack_restore``) sidesteps the opt-state
+    structure (constant-vs-schedule optimizers differ there), since
+    inference only needs the variables dict.  Returns (variables, step).
+    """
+    from flax import serialization
+
+    with open(ckpt_path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    variables, step = raw["0"], raw["2"]
+    return variables, int(np.asarray(step))
+
+
+def infer_pointpillars(dataset_root: str, ckpt_path: str,
+                       frame_ids: Optional[Sequence[int]] = None,
+                       cfg: Optional[PillarsConfig] = None,
+                       surround: bool = False,
+                       aggregate: bool = False,
+                       head: Optional[str] = None,
+                       max_points: Optional[int] = None,
+                       score_threshold: float = 0.3,
+                       rotated_nms: bool = True,
+                       output_dir: Optional[str] = None,
+                       export_ply: bool = False) -> List[Dict]:
+    """Run a trained PointPillars checkpoint over dataset frames.
+
+    Returns one dict per frame: ``{"frame", "boxes7" (D, 7), "scores"
+    (D,), "classes" (D,)}`` (only valid detections).  With
+    ``output_dir``, writes ``detections_<frame>.json`` per frame and --
+    with ``export_ply`` -- ``scene_<frame>.ply`` (gray cloud + red
+    predicted wireframes via the shared viz/export path).
+    """
+    import os
+
+    from lidar_object_detection_tpu.models.pointpillars import (
+        PointPillars, boxes7_to_corners, decode_predictions)
+
+    cfg = cfg or (PillarsConfig.kitti360_surround() if surround
+                  else PillarsConfig())
+    if head is not None:
+        cfg = dataclasses.replace(cfg, head=head)
+    variables, step = load_pillars_variables(ckpt_path)
+    model = PointPillars(cfg)
+
+    shapes = ShapeConfig()
+    ds = Kitti360Dataset(dataset_root, shapes=shapes)
+    p_max = max_points or shapes.max_points
+    ids = list(frame_ids or ds.frame_ids())
+    if aggregate:
+        frames = load_aggregated_frames(ds, ids, grid=cfg.grid,
+                                        max_points=p_max)
+        clouds = [p for p, _ in frames]
+    else:
+        clouds = [ds.load_frame(f, require_image=False)
+                  .points.astype(np.float32) for f in ids]
+
+    out: List[Dict] = []
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    for frame, pts in zip(ids, clouds):
+        if len(pts) > p_max:
+            pts = pts[np.linspace(0, len(pts) - 1, p_max).astype(np.int64)]
+        buf = np.zeros((1, p_max, 4), np.float32)
+        buf[0, :len(pts)] = pts[:, :4]
+        pv = np.zeros((1, p_max), bool)
+        pv[0, :len(pts)] = True
+        raw = model.apply(variables, jnp.asarray(buf), jnp.asarray(pv))
+        one = jax.tree_util.tree_map(lambda x: x[0], raw)
+        det = decode_predictions(one, cfg, score_threshold=score_threshold,
+                                 rotated_nms=rotated_nms)
+        ok = np.asarray(det["valid"])
+        rec = {"frame": int(frame),
+               "boxes7": np.asarray(det["boxes7"])[ok],
+               "scores": np.asarray(det["scores"])[ok],
+               "classes": np.asarray(det["classes"])[ok],
+               "ckpt_step": step}
+        out.append(rec)
+        if output_dir:
+            import json as _json
+
+            with open(os.path.join(output_dir,
+                                   f"detections_{frame:010d}.json"),
+                      "w") as f:
+                _json.dump({k: (v.tolist() if isinstance(v, np.ndarray)
+                                else v) for k, v in rec.items()}, f,
+                           indent=1)
+            if export_ply:
+                from lidar_object_detection_tpu.viz.export import (
+                    export_fusion_scene)
+
+                corners = np.asarray(boxes7_to_corners(
+                    jnp.asarray(rec["boxes7"])))
+                export_fusion_scene(
+                    os.path.join(output_dir, f"scene_{frame:010d}.ply"),
+                    pts[:, :3], None,
+                    [{"corners_velo": c} for c in corners])
+    return out

@@ -456,3 +456,56 @@ def test_trainer_state_serialization_round_trip(rng):
     m1 = trainer.train_step(pts, pv, gt, np.zeros((1, 4), np.int32), gv)
     m2 = fresh.train_step(pts, pv, gt, np.zeros((1, 4), np.int32), gv)
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+
+
+def test_boxes7_to_corners_round_trip(rng):
+    """boxes7 -> corners -> boxes7 is the identity (and the corner layout
+    matches the KITTI-360 convention corners_to_boxes7 expects)."""
+    from lidar_object_detection_tpu.models.pointpillars import (
+        boxes7_to_corners)
+
+    boxes = np.stack([
+        rng.uniform(-50, 50, 16), rng.uniform(-50, 50, 16),
+        rng.uniform(-3, 0, 16), rng.uniform(1.4, 2.2, 16),
+        rng.uniform(3.0, 5.0, 16), rng.uniform(1.2, 1.9, 16),
+        rng.uniform(-np.pi, np.pi, 16)], axis=-1).astype(np.float32)
+    corners = boxes7_to_corners(jnp.asarray(boxes))
+    assert corners.shape == (16, 8, 3)
+    back = np.asarray(corners_to_boxes7(corners))
+    np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=1e-4)
+    dyaw = np.remainder(back[:, 6] - boxes[:, 6] + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(dyaw, 0.0, atol=1e-5)
+
+
+def test_infer_pointpillars_from_checkpoint(dataset, tmp_path, rng):
+    """End-to-end inference surface: serialize a trainer checkpoint the way
+    the surround runner does, reload it via the pipeline, get detections
+    JSON + PLY out."""
+    import json as _json
+    import optax
+    from flax import serialization
+
+    from lidar_object_detection_tpu.parallel.mesh import make_mesh
+    from lidar_object_detection_tpu.pipelines.pointpillars import (
+        infer_pointpillars)
+
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    trainer = PillarsTrainer(TINY, mesh, num_points=256,
+                             learning_rate=optax.cosine_decay_schedule(
+                                 2e-3, 10))
+    ckpt = tmp_path / "ck.msgpack"
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(
+            (trainer.state.variables, trainer.state.opt_state,
+             trainer.state.step))))
+
+    out_dir = tmp_path / "dets"
+    dets = infer_pointpillars(
+        str(dataset.root), str(ckpt), frame_ids=[100], cfg=TINY,
+        max_points=256, score_threshold=0.99, output_dir=str(out_dir),
+        export_ply=True)
+    assert len(dets) == 1 and dets[0]["frame"] == 100
+    assert dets[0]["ckpt_step"] == 0
+    j = _json.load(open(out_dir / "detections_0000000100.json"))
+    assert j["frame"] == 100
+    assert (out_dir / "scene_0000000100.ply").exists()
