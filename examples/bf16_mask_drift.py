@@ -136,17 +136,31 @@ def main():
     s16 = np.asarray(_assemble_masks(jnp.asarray(protos), jnp.asarray(coef),
                                      jnp.asarray(boxes), jnp.asarray(dv),
                                      spec, fast=True))
-    syn_flips = int(np.unpackbits(np.bitwise_xor(s32, s16).view(np.uint8),
-                                  bitorder="little").sum())
-    syn_set = int(np.unpackbits(s32.view(np.uint8),
-                                bitorder="little").sum())
-    us = s32 != 0
-    inte = us.copy()
-    inte[1:, :] &= us[:-1, :]
-    inte[:-1, :] &= us[1:, :]
-    inte[:, 1:] &= us[:, :-1]
-    inte[:, :-1] &= us[:, 1:]
-    syn_boundary = int((us & ~inte).sum())
+    # per-CHANNEL boundary rings: overlapping masks must not steal each
+    # other's boundary pixels from the denominator, and the
+    # "flips stay in the ring" claim has to be computed per bit plane
+    syn_flips = syn_set = syn_boundary = flips_outside_ring = 0
+    for i in range(d):
+        bit = np.uint32(1) << np.uint32(i)
+        a = (s32 & bit) != 0
+        b = (s16 & bit) != 0
+        ch_flip = a ^ b
+        inte = a.copy()
+        inte[1:, :] &= a[:-1, :]
+        inte[:-1, :] &= a[1:, :]
+        inte[:, 1:] &= a[:, :-1]
+        inte[:, :-1] &= a[:, 1:]
+        ring = a & ~inte
+        # widen by 1 px: a flip can also sit just OUTSIDE the f32 mask
+        grow = ring.copy()
+        grow[1:, :] |= ring[:-1, :]
+        grow[:-1, :] |= ring[1:, :]
+        grow[:, 1:] |= ring[:, :-1]
+        grow[:, :-1] |= ring[:, 1:]
+        syn_flips += int(ch_flip.sum())
+        syn_set += int(a.sum())
+        syn_boundary += int(ring.sum())
+        flips_outside_ring += int((ch_flip & ~grow).sum())
 
     print(json.dumps({
         "scale": scale,
@@ -155,6 +169,7 @@ def main():
         "synthetic_flip_rate_vs_set": syn_flips / max(syn_set, 1),
         "synthetic_boundary_pixels": syn_boundary,
         "synthetic_flip_rate_vs_boundary": syn_flips / max(syn_boundary, 1),
+        "synthetic_flips_outside_boundary_band": flips_outside_ring,
         "degenerate_randomweight_pixels_set_f32": set32,
         "degenerate_randomweight_flips": flips,
         "degenerate_randomweight_boundary": boundary,

@@ -139,6 +139,12 @@ def main():
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(st))
         os.replace(tmp, ckpt_path)
+        # sidecar: grid/head metadata so pointpillars-infer can reject a
+        # mismatched config loudly (pipelines.load_pillars_variables)
+        from lidar_object_detection_tpu.pipelines.pointpillars import (
+            pillars_config_meta)
+        with open(ckpt_path + ".json", "w") as f:
+            json.dump(pillars_config_meta(cfg), f)
 
     # full-cloud eval batch (clean frames, deterministic)
     p_full = eval_points

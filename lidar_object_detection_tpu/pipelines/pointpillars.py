@@ -241,11 +241,7 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
     from lidar_object_detection_tpu.models.pointpillars.augment import (
         GtDatabase, augment_frame)
 
-    cfg = cfg or (PillarsConfig.kitti360_surround() if surround
-                  else PillarsConfig())
-    if head is not None:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, head=head)
+    cfg = resolve_pillars_config(cfg, surround=surround, head=head)
     shapes = ShapeConfig()
     ds = Kitti360Dataset(dataset_root, shapes=shapes)
     p_max = max_points or shapes.max_points
@@ -331,7 +327,31 @@ def train_pointpillars(dataset_root: str, steps: int = 50,
     return {"loss_history": history, "trainer": trainer, "eval": results}
 
 
-def load_pillars_variables(ckpt_path: str):
+def resolve_pillars_config(cfg: Optional[PillarsConfig] = None,
+                           surround: bool = False,
+                           head: Optional[str] = None) -> PillarsConfig:
+    """Single source of the config-resolution rule shared by
+    train_pointpillars and infer_pointpillars (so the two cannot
+    silently diverge on grid/head selection)."""
+    cfg = cfg or (PillarsConfig.kitti360_surround() if surround
+                  else PillarsConfig())
+    if head is not None:
+        cfg = dataclasses.replace(cfg, head=head)
+    return cfg
+
+
+def pillars_config_meta(cfg: PillarsConfig) -> Dict:
+    """The config fields a checkpoint consumer must agree on: a mismatch
+    loads cleanly (every layer is grid-extent-agnostic conv/BN) but
+    decodes in the wrong coordinate frame."""
+    g = cfg.grid
+    return {"head": cfg.head, "x_range": list(g.x_range),
+            "y_range": list(g.y_range), "z_range": list(g.z_range),
+            "pillar_size": g.pillar_size}
+
+
+def load_pillars_variables(ckpt_path: str,
+                           expect_cfg: Optional[PillarsConfig] = None):
     """Model variables from a surround-runner checkpoint.
 
     The runner (examples/train_pointpillars_surround.py) serializes the
@@ -339,12 +359,34 @@ def load_pillars_variables(ckpt_path: str):
     without a template (``msgpack_restore``) sidesteps the opt-state
     structure (constant-vs-schedule optimizers differ there), since
     inference only needs the variables dict.  Returns (variables, step).
+
+    With ``expect_cfg`` and a ``<ckpt>.json`` sidecar (written by the
+    runner), the grid/head metadata is cross-checked: the variables of a
+    surround-trained model load without shape errors into a front-grid
+    model (convs are grid-agnostic) and then decode garbage coordinates,
+    so a mismatch must be a loud error, not silent wrong output.
     """
+    import json as _json
+    import os
+
     from flax import serialization
 
     with open(ckpt_path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     variables, step = raw["0"], raw["2"]
+    sidecar = ckpt_path + ".json"
+    if expect_cfg is not None and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            saved = _json.load(f)
+        want = pillars_config_meta(expect_cfg)
+        mismatch = {k: (saved.get(k), v) for k, v in want.items()
+                    if saved.get(k) != v}
+        if mismatch:
+            raise ValueError(
+                f"checkpoint {ckpt_path} was trained with a different "
+                f"config than requested (saved vs requested): {mismatch}. "
+                "Pass matching --surround/--head flags (or the cfg the "
+                "checkpoint was trained with).")
     return variables, int(np.asarray(step))
 
 
@@ -372,12 +414,10 @@ def infer_pointpillars(dataset_root: str, ckpt_path: str,
     from lidar_object_detection_tpu.models.pointpillars import (
         PointPillars, boxes7_to_corners, decode_predictions)
 
-    cfg = cfg or (PillarsConfig.kitti360_surround() if surround
-                  else PillarsConfig())
-    if head is not None:
-        cfg = dataclasses.replace(cfg, head=head)
-    variables, step = load_pillars_variables(ckpt_path)
+    cfg = resolve_pillars_config(cfg, surround=surround, head=head)
+    variables, step = load_pillars_variables(ckpt_path, expect_cfg=cfg)
     model = PointPillars(cfg)
+    apply_fn = jax.jit(model.apply)   # identical shapes -> compile once
 
     shapes = ShapeConfig()
     ds = Kitti360Dataset(dataset_root, shapes=shapes)
@@ -386,10 +426,11 @@ def infer_pointpillars(dataset_root: str, ckpt_path: str,
     if aggregate:
         frames = load_aggregated_frames(ds, ids, grid=cfg.grid,
                                         max_points=p_max)
-        clouds = [p for p, _ in frames]
+        clouds = iter(p for p, _ in frames)
     else:
-        clouds = [ds.load_frame(f, require_image=False)
-                  .points.astype(np.float32) for f in ids]
+        # stream: one cloud resident at a time
+        clouds = iter(ds.load_frame(f, require_image=False)
+                      .points.astype(np.float32) for f in ids)
 
     out: List[Dict] = []
     if output_dir:
@@ -401,7 +442,7 @@ def infer_pointpillars(dataset_root: str, ckpt_path: str,
         buf[0, :len(pts)] = pts[:, :4]
         pv = np.zeros((1, p_max), bool)
         pv[0, :len(pts)] = True
-        raw = model.apply(variables, jnp.asarray(buf), jnp.asarray(pv))
+        raw = apply_fn(variables, jnp.asarray(buf), jnp.asarray(pv))
         one = jax.tree_util.tree_map(lambda x: x[0], raw)
         det = decode_predictions(one, cfg, score_threshold=score_threshold,
                                  rotated_nms=rotated_nms)

@@ -509,3 +509,41 @@ def test_infer_pointpillars_from_checkpoint(dataset, tmp_path, rng):
     j = _json.load(open(out_dir / "detections_0000000100.json"))
     assert j["frame"] == 100
     assert (out_dir / "scene_0000000100.ply").exists()
+
+
+def test_infer_rejects_mismatched_config(dataset, tmp_path):
+    """A checkpoint with a grid/head sidecar must refuse to load into a
+    different config -- the variables would load cleanly (convs are
+    grid-agnostic) and decode garbage coordinates otherwise."""
+    import optax
+    from flax import serialization
+
+    from lidar_object_detection_tpu.parallel.mesh import make_mesh
+    from lidar_object_detection_tpu.pipelines.pointpillars import (
+        infer_pointpillars, pillars_config_meta)
+    import json as _json
+
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    trainer = PillarsTrainer(TINY, mesh, num_points=128,
+                             learning_rate=optax.cosine_decay_schedule(
+                                 2e-3, 10))
+    ckpt = tmp_path / "ck.msgpack"
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(
+            (trainer.state.variables, trainer.state.opt_state,
+             trainer.state.step))))
+    with open(str(ckpt) + ".json", "w") as f:
+        _json.dump(pillars_config_meta(TINY), f)
+
+    import dataclasses as dc
+    other = dc.replace(TINY, grid=PillarGridConfig(
+        x_range=(-20.48, 20.48), y_range=(-20.48, 20.48),
+        pillar_size=0.32))
+    with pytest.raises(ValueError, match="different config"):
+        infer_pointpillars(str(dataset.root), str(ckpt), frame_ids=[100],
+                           cfg=other, max_points=128)
+    # matching config still loads
+    out = infer_pointpillars(str(dataset.root), str(ckpt), frame_ids=[100],
+                             cfg=TINY, max_points=128,
+                             score_threshold=0.99)
+    assert len(out) == 1
