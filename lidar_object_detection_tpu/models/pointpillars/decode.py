@@ -13,7 +13,6 @@ with w along the box's lateral axis, l longitudinal, yaw about +z.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ convs (MXU) -> per-cell heads.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ mapping.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

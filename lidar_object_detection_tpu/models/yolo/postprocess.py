@@ -18,7 +18,6 @@ masks never round-trip through a ragged per-instance representation.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import jax

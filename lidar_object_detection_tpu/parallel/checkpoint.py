@@ -23,7 +23,6 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
 
     def save(self, step: int, state: Any) -> None:
-        import jax
         import orbax.checkpoint as ocp
 
         tree = {

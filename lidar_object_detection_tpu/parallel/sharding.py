@@ -31,7 +31,7 @@ from lidar_object_detection_tpu.geom import boxes as boxes_lib
 from lidar_object_detection_tpu.geom import projection as proj_lib
 from lidar_object_detection_tpu.ops import masks as masks_lib
 from lidar_object_detection_tpu.parallel.mesh import (
-    DATA_AXIS, MODEL_AXIS, data_sharding, replicated)
+    DATA_AXIS, MODEL_AXIS, replicated)
 
 
 def sharded_fuse_batch(mesh, batch_arrays, calib_arrays,

@@ -19,9 +19,8 @@ provides a jit-compiled train step for the Flax YOLO11 with:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
