@@ -186,3 +186,60 @@ class TestCenterTraining:
         a = pointpillars_loss(out, gt, gcls, gv, TINY)
         b = center_loss(out, gt, gcls, gv, TINY)
         assert float(a["loss"]) == float(b["loss"])
+
+
+class TestMultiClass:
+    """nc > 1: class-channel scatter in target rendering and class
+    recovery through the flattened peak decode."""
+
+    CFG2 = PillarsConfig(grid=TINY_GRID, embed_dim=16,
+                         backbone_channels=(16, 32, 64),
+                         backbone_layers=(1, 1, 1), up_channels=16,
+                         head="center", num_classes=2)
+
+    def test_render_routes_class_channels(self):
+        gt = jnp.zeros((G, 7)).at[0].set(jnp.asarray(BOX_A)).at[1].set(
+            jnp.asarray(BOX_B))
+        cls = jnp.zeros((G,), jnp.int32).at[1].set(1)
+        valid = jnp.zeros((G,), bool).at[0].set(True).at[1].set(True)
+        t = render_center_targets(gt, cls, valid, self.CFG2)
+        heat = np.asarray(t["heat"])
+        assert heat.shape[-1] == 2
+        cell = self.CFG2.grid.pillar_size * self.CFG2.out_stride
+
+        def peak(b):
+            ix = int((b[0] - self.CFG2.grid.x_range[0]) / cell)
+            iy = int((b[1] - self.CFG2.grid.y_range[0]) / cell)
+            return iy, ix
+
+        ya, xa = peak(BOX_A)
+        yb, xb = peak(BOX_B)
+        assert heat[ya, xa, 0] == pytest.approx(1.0)
+        assert heat[yb, xb, 1] == pytest.approx(1.0)
+        # each box renders only into its own class channel's peak cell
+        assert heat[ya, xa, 1] < 1.0
+        assert heat[yb, xb, 0] < 1.0
+
+    def test_decode_recovers_classes(self):
+        gt = jnp.zeros((G, 7)).at[0].set(jnp.asarray(BOX_A)).at[1].set(
+            jnp.asarray(BOX_B))
+        cls = jnp.zeros((G,), jnp.int32).at[1].set(1)
+        valid = jnp.zeros((G,), bool).at[0].set(True).at[1].set(True)
+        t = render_center_targets(gt, cls, valid, self.CFG2)
+        heat = t["heat"]
+        logits = jnp.log(jnp.clip(heat, 1e-6, 1 - 1e-6)
+                         / (1 - jnp.clip(heat, 1e-6, 1 - 1e-6)))
+        h, w = heat.shape[:2]
+        reg = jnp.zeros((h * w, 8)).at[t["ind"]].set(t["reg"]).reshape(
+            h, w, 8)
+        det = decode_center({"heat": logits, "reg": reg}, self.CFG2,
+                            score_threshold=0.5)
+        ok = np.asarray(det["valid"])
+        assert ok.sum() == 2
+        got = {}
+        boxes = np.asarray(det["boxes7"])[ok]
+        classes = np.asarray(det["classes"])[ok]
+        for b, c in zip(boxes, classes):
+            key = 0 if abs(b[0] - BOX_A[0]) < 1 else 1
+            got[key] = int(c)
+        assert got == {0: 0, 1: 1}

@@ -547,3 +547,28 @@ def test_infer_rejects_mismatched_config(dataset, tmp_path):
                              cfg=TINY, max_points=128,
                              score_threshold=0.99)
     assert len(out) == 1
+
+
+def test_infer_aggregate_path(dataset, tmp_path):
+    """Inference over pose-aggregated multi-sweep clouds (the surround
+    recipe's serving path) on the tiny CPU grid."""
+    import optax
+    from flax import serialization
+
+    from lidar_object_detection_tpu.parallel.mesh import make_mesh
+    from lidar_object_detection_tpu.pipelines.pointpillars import (
+        infer_pointpillars)
+
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    trainer = PillarsTrainer(TINY, mesh, num_points=2048,
+                             learning_rate=optax.cosine_decay_schedule(
+                                 2e-3, 10))
+    ckpt = tmp_path / "ck.msgpack"
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(
+            (trainer.state.variables, trainer.state.opt_state,
+             trainer.state.step))))
+    out = infer_pointpillars(str(dataset.root), str(ckpt), frame_ids=[100],
+                             cfg=TINY, aggregate=True, max_points=2048,
+                             score_threshold=0.99)
+    assert len(out) == 1 and out[0]["frame"] == 100
