@@ -186,8 +186,11 @@ def aggregate_sweeps(dataset: Kitti360Dataset,
     if max_points is None:
         max_points = ((total + 4095) // 4096) * 4096
     if total > max_points:
-        points = points[:max_points]
-        sweep_id = sweep_id[:max_points]
+        # subsample evenly across the concatenated cloud instead of
+        # slicing the head, which would silently drop entire later sweeps
+        keep = np.linspace(0, total - 1, max_points).round().astype(np.int64)
+        points = points[keep]
+        sweep_id = sweep_id[keep]
         total = max_points
     pad = max_points - total
     if pad:

@@ -130,9 +130,12 @@ def render_center_targets(gt_boxes7, gt_classes, gt_valid, cfg):
     # route out-of-bounds / invalid cells to a scratch slot past the map
     flat = jnp.where(ok, wy * w + wx, h * w)
     cls = jnp.clip(gt_classes, 0, nc - 1)
+    # cast explicitly: under x64 `val` promotes to float64 and a
+    # dtype-mismatched .at[].max scatter is a (future) hard error
     heat = jnp.zeros((h * w + 1, nc), jnp.float32).at[
         flat.reshape(gmax, -1),
-        cls[:, None].astype(jnp.int32)].max(val.reshape(gmax, -1))
+        cls[:, None].astype(jnp.int32)].max(
+        val.reshape(gmax, -1).astype(jnp.float32))
     heat = heat[:-1].reshape(h, w, nc)
 
     ind = jnp.where(mask, iy * w + ix, 0).astype(jnp.int32)

@@ -83,7 +83,9 @@ def point_features(points, valid, cfg: PillarGridConfig, batch: int = 1):
     n_pillars = batch * cfg.nx * cfg.ny
     w = in_grid.astype(jnp.float32)
 
-    xyz = points[:, :3] * w[:, None]
+    # float32 explicitly: float64 points (x64 test mode) would otherwise
+    # hit the scatter dtype-promotion FutureWarning / future hard error
+    xyz = points[:, :3].astype(jnp.float32) * w[:, None]
     sums = jnp.zeros((n_pillars, 3), jnp.float32).at[ids].add(xyz)
     counts = jnp.zeros((n_pillars,), jnp.float32).at[ids].add(w)
     means = sums[ids] / jnp.maximum(counts[ids], 1.0)[:, None]   # (P, 3)

@@ -223,13 +223,12 @@ def main(argv=None) -> int:
         pipe = runner.FusionPipeline(ds, cfg, _build_detector(args, ds))
         os.makedirs(args.output, exist_ok=True)
         from lidar_object_detection_tpu.viz.overlay import depth_map_figure
-        images = None
         count = 0
-        for frame_id, car_id, dm in pipe.depth_maps(args.frames):
+        for frame_id, car_id, dm, seg in pipe.depth_maps(args.frames):
             path = os.path.join(
                 args.output, f"{frame_id:010d},depth_map_car_{car_id:02d}_.png")
-            seg = (images if images is not None
-                   else __import__("numpy").zeros((*dm.shape, 3), "uint8"))
+            if seg is None:
+                seg = __import__("numpy").zeros((*dm.shape, 3), "uint8")
             depth_map_figure(dm, seg, car_id, frame_id, path)
             count += 1
         print(f"wrote {count} depth maps to {args.output}")

@@ -375,6 +375,13 @@ def load_pillars_variables(ckpt_path: str,
         raw = serialization.msgpack_restore(f.read())
     variables, step = raw["0"], raw["2"]
     sidecar = ckpt_path + ".json"
+    if expect_cfg is not None and not os.path.exists(sidecar):
+        import warnings
+        warnings.warn(
+            f"checkpoint {ckpt_path} has no {os.path.basename(sidecar)} "
+            "sidecar; cannot verify it matches the requested "
+            "--surround/--head config. A mismatched grid decodes garbage "
+            "coordinates silently.", stacklevel=2)
     if expect_cfg is not None and os.path.exists(sidecar):
         with open(sidecar) as f:
             saved = _json.load(f)

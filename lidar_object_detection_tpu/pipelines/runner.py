@@ -366,17 +366,24 @@ class FusionPipeline:
         return pts, colors, corners
 
     # ------------------------------------------------------------------
-    def depth_maps(self, frame_ids: Optional[Sequence[int]] = None):
+    def depth_maps(self, frame_ids: Optional[Sequence[int]] = None,
+                   with_seg_images: bool = True):
         """Per-car depth maps (seg_with_pointcloud.py:160-170), on device.
 
-        Yields (frame_id, car_id, depth_map) for each detection with points.
+        Yields (frame_id, car_id, depth_map, seg_image) for each detection
+        with points.  ``seg_image`` is the frame image with the detection
+        masks blended over it -- the reference overlays the depth panel on
+        the *segmented* image (seg_with_pointcloud.py:173-194), so the
+        figure writer needs it; pass ``with_seg_images=False`` to skip the
+        image load and get ``None`` there.
         """
         records = self.dataset.load_frames(frame_ids)
         batch = self.dataset.make_batch(records)
         detections = self.detect(records, batch)
         fused = self.fuse(batch, detections)
         s = self.config.shapes
-        from lidar_object_detection_tpu.ops.masks import unpack_point_bits
+        from lidar_object_detection_tpu.ops.masks import (unpack_masks,
+                                                          unpack_point_bits)
         dm = jax.vmap(
             lambda u, v, d, bits, pv: scatter_depth_maps(
                 u, v, d, unpack_point_bits(bits, s.max_detections), pv,
@@ -384,13 +391,22 @@ class FusionPipeline:
             fused["u"], fused["v"], fused["depth"], fused["point_bits"],
             fused["point_valid"])
         dm = np.asarray(dm)
+        images = self.dataset.load_images(batch) if with_seg_images else None
         for i, rec in enumerate(records):
+            seg = None
+            if images is not None:
+                from lidar_object_detection_tpu.viz.overlay import \
+                    overlay_masks
+                masks = unpack_masks(
+                    np.asarray(detections["mask_bits"][i]), s.max_detections)
+                valid = np.asarray(detections["det_valid"][i], bool)
+                seg = overlay_masks(images[i], masks[valid])
             for det in range(s.max_detections):
                 if not detections["det_valid"][i][det]:
                     continue
                 if dm[i, det].max() <= 0:
                     continue   # reference skips empty maps (:174-175)
-                yield rec.frame_id, det + 1, dm[i, det]
+                yield rec.frame_id, det + 1, dm[i, det], seg
 
 
 # ---------------------------------------------------------------------------

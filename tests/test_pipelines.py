@@ -88,11 +88,41 @@ def test_depth_maps(kitti_root):
     pipe = FusionPipeline(ds, cfg)
     maps = list(pipe.depth_maps([100]))
     assert maps
-    for frame_id, car_id, dm in maps:
+    for frame_id, car_id, dm, seg in maps:
         assert frame_id == 100 and car_id >= 1
         assert dm.shape == (376, 1408)
         assert dm.max() > 0
         assert (dm >= 0).all() and dm.max() < cfg.depth_max + 1e-5
+        # the overlay panel must be the real segmented image, not black
+        # (reference overlays depth on the seg image,
+        # seg_with_pointcloud.py:173-194)
+        assert seg is not None and seg.shape == (376, 1408, 3)
+        assert seg.any()
+
+
+def test_depth_map_figure_overlay(kitti_root, tmp_path):
+    """The exported figure's lower panel blends depth over the segmented
+    image -- non-black pixels must survive outside the depth-covered
+    region (golden check for the CLI wiring fix)."""
+    from lidar_object_detection_tpu.config import FusionConfig
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+    from lidar_object_detection_tpu.viz.overlay import depth_map_figure
+
+    cfg = FusionConfig.for_version(PipelineVersion.DEPTH_MAPS)
+    ds = Kitti360Dataset(kitti_root, shapes=cfg.shapes)
+    pipe = FusionPipeline(ds, cfg)
+    frame_id, car_id, dm, seg = next(iter(pipe.depth_maps([100])))
+    path = str(tmp_path / f"{frame_id:010d},depth_map_car_{car_id:02d}_.png")
+    depth_map_figure(dm, seg, car_id, frame_id, path)
+    black = str(tmp_path / "black.png")
+    depth_map_figure(dm, np.zeros_like(seg), car_id, frame_id, black)
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGB"), np.int32)
+    ref = np.asarray(Image.open(black).convert("RGB"), np.int32)
+    # the lower panel must blend the real segmented image: a large share
+    # of pixels differs from the black-image figure (the old CLI bug)
+    assert (np.abs(img - ref).sum(axis=-1) > 10).mean() > 0.1
 
 
 def test_kitti2d_pipeline(tmp_path):
