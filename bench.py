@@ -7,7 +7,17 @@ steady-state, inputs device-resident (the production serving layout).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 500 (the north-star >500 frames/s/chip on v5e,
-BASELINE.json).
+BASELINE.json).  The same line carries two secondary measurements in
+"extra" (unless BENCH_EXTRA=0):
+
+* exact_masks_frames_per_sec -- the f32 mask-assembly parity path
+  (BENCH_FAST_MASKS=0 equivalent) of the same device-resident pipeline;
+* stream_frames_per_sec -- sustained DISK-to-CSV streaming through
+  FusionPipeline.stream(): the C++ threaded scan prefetcher with host
+  frustum compaction + raw-cache image reads + the full device pipeline +
+  per-car statistics rows, looped over the sample sequence (the from-disk
+  analogue of the reference's cvs_erosion.py:298-379).  Host-bound on this
+  1-core box; scales with host cores.
 """
 
 import json
@@ -121,11 +131,70 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = iters * n_frames / dt
+    extra = {}
+    if os.environ.get("BENCH_EXTRA", "1") == "1":
+        # (a) exact-parity f32 mask assembly, same device-resident layout
+        det_exact = YoloDetector(
+            (cfg.shapes.image_height, cfg.shapes.image_width),
+            YoloConfig(scale=scale),
+            max_detections=cfg.shapes.max_detections,
+            fast_masks=False, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def end_to_end_exact(variables, images, points, pvalid, corners,
+                             bvalid):
+            det = det_exact.detect_fn(variables, images)
+            fused = fuse_batch(points, pvalid, det["mask_bits"],
+                               det["det_valid"], corners, bvalid, *calib,
+                               params=params)
+            return fused["total_points"]
+
+        args_e = (det_exact.variables, d_images, d_points, d_pvalid,
+                  d_corners, d_bvalid)
+        float(end_to_end_exact(*args_e).sum())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tp = end_to_end_exact(*args_e)
+        float(tp.sum())
+        extra["exact_masks_frames_per_sec"] = round(
+            iters * n_frames / (time.perf_counter() - t0), 2)
+
+        # (b) sustained disk-to-CSV streaming (cvs_erosion analogue)
+        import tempfile
+
+        from lidar_object_detection_tpu.pipelines.runner import \
+            FusionPipeline
+        cache_dir = os.environ.get("BENCH_IMG_CACHE",
+                                   "/tmp/lidar_tpu_img_cache")
+        sds = Kitti360Dataset(KITTI_ROOT, shapes=cfg.shapes,
+                              image_cache_dir=cache_dir)
+        pipe = FusionPipeline(sds, cfg, detector)
+        ids = [f for f in sds.frame_ids() if sds.load_bboxes_exists(f)]
+        # warm: compiles the chunk-sized programs + fills the image cache
+        for _ in pipe.stream(ids, chunk=len(ids)):
+            pass
+        reps = int(os.environ.get("BENCH_STREAM_REPS", "5"))
+        csv_path = os.path.join(tempfile.mkdtemp(), "master.csv")
+        from lidar_object_detection_tpu.eval.statistics import \
+            append_to_master_csv
+        t0 = time.perf_counter()
+        n_stream = 0
+        for _ in range(reps):
+            rows_acc = []
+            for _fid, rows in pipe.stream(ids, chunk=len(ids)):
+                rows_acc.extend(rows)
+                n_stream += 1
+            append_to_master_csv(rows_acc, csv_path)
+        extra["stream_frames_per_sec"] = round(
+            n_stream / (time.perf_counter() - t0), 2)
+        extra["stream_reps"] = reps
+
     print(json.dumps({
         "metric": f"kitti360_e2e_frames_per_sec_per_chip(yolo11{scale}-seg+fusion)",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
+        **({"extra": extra} if extra else {}),
     }))
 
 

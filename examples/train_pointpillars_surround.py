@@ -59,17 +59,19 @@ def main():
     cache_path = flag_val("cache", "", str)
     ckpt_path = flag_val("ckpt", "", str)
     head = flag_val("head", "ssd", str)
+    starve_w = flag_val("starve-weight", 0.0, float)
     no_augment = "--no-augment" in flags   # pure clean-frame overfit polish
 
     root = "/root/reference/KITTI360_sample"
     chunk = 500
     import dataclasses
-    cfg = dataclasses.replace(PillarsConfig.kitti360_surround(), head=head)
+    cfg = dataclasses.replace(PillarsConfig.kitti360_surround(), head=head,
+                              starve_weight=starve_w)
     t0 = time.time()
     report = {"chunks": [], "config": {
         "steps": steps, "subsample": subsample, "fade": fade,
         "frames": n_frames, "lr_peak": lr_peak, "head": head,
-        "grid": "kitti360_surround"}}
+        "starve_weight": starve_w, "grid": "kitti360_surround"}}
     try:
         with open(out_path) as f:
             report["chunks"] = json.load(f).get("chunks", [])

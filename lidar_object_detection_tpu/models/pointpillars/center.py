@@ -153,13 +153,18 @@ def render_center_targets(gt_boxes7, gt_classes, gt_valid, cfg):
 
 
 def penalty_reduced_focal(logits, targets, alpha: float = 2.0,
-                          beta: float = 4.0):
+                          beta: float = 4.0, pos_weight=None):
     """CornerNet focal: positives are cells with target exactly 1, the
-    gaussian tail (4th power) downweights negatives near centers."""
+    gaussian tail (4th power) downweights negatives near centers.
+
+    ``pos_weight`` (same shape as targets, default 1) scales the positive
+    term per cell -- the per-GT starvation upweighting hook."""
     p = jax.nn.sigmoid(logits.astype(jnp.float32))
     p = jnp.clip(p, 1e-6, 1 - 1e-6)
     pos = (targets >= 1.0 - 1e-6).astype(jnp.float32)
     pos_loss = -((1 - p) ** alpha) * jnp.log(p) * pos
+    if pos_weight is not None:
+        pos_loss = pos_loss * pos_weight
     neg_loss = (-((1 - targets) ** beta) * (p ** alpha) * jnp.log(1 - p)
                 * (1 - pos))
     return pos_loss + neg_loss
@@ -167,29 +172,80 @@ def penalty_reduced_focal(logits, targets, alpha: float = 2.0,
 
 def center_loss(outputs, gt_boxes7, gt_classes, gt_valid, cfg,
                 heat_weight: float = 1.0,
-                reg_weight: float = 2.0) -> Dict[str, jnp.ndarray]:
+                reg_weight: float = 2.0,
+                gt_pos_weight=None) -> Dict[str, jnp.ndarray]:
     """Batched CenterPoint loss; same signature family as
     :func:`..loss.pointpillars_loss` so the shared train step dispatches
-    on ``cfg.head``."""
+    on ``cfg.head``.
+
+    ``gt_pos_weight`` (B, G) >= 1 upweights each GT's positive heatmap
+    cell and regression term -- the per-GT starvation weighting
+    (cfg.starve_weight) that lets point-starved boxes compete for peaks.
+    """
     targets = jax.vmap(lambda g, c, v: render_center_targets(g, c, v, cfg))(
         gt_boxes7, gt_classes, gt_valid)
     heat_logits = outputs["heat"].astype(jnp.float32)
     b = heat_logits.shape[0]
+    h, w = _head_shape(cfg)
+    nc = cfg.num_classes
     num_pos = jnp.maximum(jnp.sum(targets["mask"]), 1).astype(jnp.float32)
 
-    heat_l = jnp.sum(penalty_reduced_focal(
-        heat_logits, targets["heat"])) / num_pos
+    pw_map = None
+    gt_w = None
+    if gt_pos_weight is not None:
+        gt_w = jnp.maximum(gt_pos_weight.astype(jnp.float32), 1.0)
 
-    h, w = _head_shape(cfg)
+        def wmap_one(ind, cls, mask, wgt):
+            wm = jnp.ones((h * w + 1, nc), jnp.float32).at[
+                ind, jnp.clip(cls, 0, nc - 1).astype(jnp.int32)].max(
+                jnp.where(mask, wgt, 1.0))
+            return wm[:-1].reshape(h, w, nc)
+
+        pw_map = jax.vmap(wmap_one)(targets["ind"], gt_classes,
+                                    targets["mask"], gt_w)
+
+    heat_l = jnp.sum(penalty_reduced_focal(
+        heat_logits, targets["heat"], pos_weight=pw_map)) / num_pos
+
     reg_map = outputs["reg"].astype(jnp.float32).reshape(b, h * w, 8)
     pred = jnp.take_along_axis(
         reg_map, targets["ind"][..., None].astype(jnp.int32), axis=1)
     l1 = jnp.sum(jnp.abs(pred - targets["reg"]), axis=-1)
-    reg_l = jnp.sum(l1 * targets["mask"].astype(jnp.float32)) / num_pos
+    reg_w = targets["mask"].astype(jnp.float32)
+    if gt_w is not None:
+        reg_w = reg_w * gt_w
+    reg_l = jnp.sum(l1 * reg_w) / num_pos
 
     total = heat_weight * heat_l + reg_weight * reg_l
     return {"loss": total, "cls": heat_l, "box": reg_l,
             "dir": jnp.zeros((), jnp.float32), "num_pos": num_pos}
+
+
+def gt_point_counts(points, valid, gt_boxes7, gt_valid):
+    """Per-GT in-box point counts (batched): rotated-BEV footprint + z
+    containment.  points (B, P, >=3), gt_boxes7 (B, G, 7) with length
+    along local +x (ops/rotated_iou.py convention).  Returns (B, G) f32."""
+    xy = points[..., :2]                                     # (B, P, 2)
+    z = points[..., 2]
+    dx = xy[..., 0][:, :, None] - gt_boxes7[:, None, :, 0]   # (B, P, G)
+    dy = xy[..., 1][:, :, None] - gt_boxes7[:, None, :, 1]
+    yaw = gt_boxes7[..., 6][:, None, :]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    lx = dx * c + dy * s
+    ly = -dx * s + dy * c
+    dz = z[:, :, None] - gt_boxes7[:, None, :, 2]
+    inside = ((jnp.abs(lx) <= gt_boxes7[:, None, :, 4] / 2)
+              & (jnp.abs(ly) <= gt_boxes7[:, None, :, 3] / 2)
+              & (jnp.abs(dz) <= gt_boxes7[:, None, :, 5])
+              & valid[:, :, None])
+    return jnp.sum(inside, axis=1).astype(jnp.float32) * gt_valid
+
+
+def starve_weights(points, valid, gt_boxes7, gt_valid, cfg):
+    """1 + starve_weight * exp(-count / n0): smooth inverse-point-count
+    positive weighting, ~(1 + w) for empty boxes -> 1 for dense ones."""
+    counts = gt_point_counts(points, valid, gt_boxes7, gt_valid)
+    return 1.0 + cfg.starve_weight * jnp.exp(-counts / cfg.starve_n0)
 
 
 def decode_center(outputs, cfg, score_threshold: float = 0.3,

@@ -135,7 +135,8 @@ def smooth_l1(x, beta: float = 1.0 / 9.0):
 def pointpillars_loss(outputs, gt_boxes7, gt_classes, gt_valid,
                       cfg: PillarsConfig,
                       cls_weight: float = 1.0, box_weight: float = 2.0,
-                      dir_weight: float = 0.2) -> Dict[str, jnp.ndarray]:
+                      dir_weight: float = 0.2,
+                      gt_pos_weight=None) -> Dict[str, jnp.ndarray]:
     """Batched loss.
 
     Args:
@@ -151,7 +152,8 @@ def pointpillars_loss(outputs, gt_boxes7, gt_classes, gt_valid,
     if cfg.head == "center":
         from lidar_object_detection_tpu.models.pointpillars.center import (
             center_loss)
-        return center_loss(outputs, gt_boxes7, gt_classes, gt_valid, cfg)
+        return center_loss(outputs, gt_boxes7, gt_classes, gt_valid, cfg,
+                           gt_pos_weight=gt_pos_weight)
     b = outputs["cls"].shape[0]
     nc = cfg.num_classes
     anchors = anchor_grid(cfg).reshape(-1, 7)

@@ -45,6 +45,15 @@ class PillarsConfig:
     # detection head family: "ssd" (anchor-based, Lang et al. 2019) or
     # "center" (CenterPoint heatmap head, models/pointpillars/center.py)
     head: str = "ssd"
+    # per-GT positive upweighting for the center head: GTs with few in-box
+    # points get their heatmap-peak / regression terms upweighted by up to
+    # (1 + starve_weight); the SSD head's force-match guarantees every GT a
+    # positive anchor, which heatmap peak competition does not, so without
+    # this the center head never forms peaks for point-starved boxes
+    # (round-2 miss analysis, PERFORMANCE.md).  0 disables.
+    starve_weight: float = 0.0
+    # point-count scale: weight = 1 + starve_weight * exp(-count / n0)
+    starve_n0: float = 20.0
 
     @property
     def out_stride(self) -> int:

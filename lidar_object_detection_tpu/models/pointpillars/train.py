@@ -62,10 +62,17 @@ def _train_step(state: TrainState, points, valid, gt_boxes7, gt_classes,
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
 
+    gt_pw = None
+    if cfg.head == "center" and cfg.starve_weight > 0:
+        from lidar_object_detection_tpu.models.pointpillars.center import (
+            starve_weights)
+        gt_pw = starve_weights(points, valid, gt_boxes7, gt_valid, cfg)
+
     def loss_fn(p):
         out, updates = model.apply({"params": p, **rest}, points, valid,
                                    train=True, mutable=["batch_stats"])
-        losses = pointpillars_loss(out, gt_boxes7, gt_classes, gt_valid, cfg)
+        losses = pointpillars_loss(out, gt_boxes7, gt_classes, gt_valid, cfg,
+                                   gt_pos_weight=gt_pw)
         return losses["loss"], (losses, updates)
 
     (loss, (losses, updates)), grads = jax.value_and_grad(

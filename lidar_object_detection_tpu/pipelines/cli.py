@@ -28,18 +28,43 @@ def _add_common(p, detector: bool = True):
                             "Flax YOLOv11-seg (needs --weights for real "
                             "accuracy)")
         p.add_argument("--weights", default=None,
-                       help="converted state-dict file for the yolo detector")
+                       help="yolo weights: an orbax dir (convert-weights), a "
+                            ".pt/.safetensors state dict, or a distilled "
+                            "msgpack checkpoint "
+                            "(examples/train_yolo_distill.py)")
+        p.add_argument("--yolo-scale", default=None, choices=list("nsmlx"),
+                       help="yolo scale (default: x, or the checkpoint "
+                            "sidecar's scale for msgpack weights)")
+        p.add_argument("--conf", type=float, default=None,
+                       help="yolo confidence threshold (default 0.25)")
 
 
 def _build_detector(args, dataset):
     if args.detector == "stub":
         return None
+    import json as _json
+
     from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
     from lidar_object_detection_tpu.models.yolo.model import YoloConfig
     from lidar_object_detection_tpu.models.yolo.weights import (
         convert_state_dict, load_state_dict_file)
+
+    scale = args.yolo_scale
+    is_msgpack = bool(args.weights) and args.weights.endswith(".msgpack")
+    if is_msgpack and scale is None and os.path.exists(
+            args.weights + ".json"):
+        with open(args.weights + ".json") as f:
+            scale = _json.load(f).get("scale")
+    kw = {} if args.conf is None else {"conf": args.conf}
     det = YoloDetector((dataset.camera.height, dataset.camera.width),
-                       YoloConfig())
+                       YoloConfig(scale=scale or "x"), **kw)
+    if is_msgpack:
+        # distilled checkpoint (examples/train_yolo_distill.py)
+        from flax import serialization
+        with open(args.weights, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        det.variables = raw["variables"]
+        return det
     if args.weights:
         if os.path.isdir(args.weights):
             import orbax.checkpoint as ocp

@@ -99,12 +99,15 @@ class FusionPipeline:
         return corners
 
     # ------------------------------------------------------------------
-    def detect(self, records, batch: FrameBatch) -> Dict[str, np.ndarray]:
+    def detect(self, records, batch: FrameBatch,
+               images: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
         """Run the configured detector; Yolo gets images, the stub gets
-        the frame records."""
+        the frame records.  ``images`` lets callers (the streaming path)
+        inject pre-loaded pixels so decode overlaps device compute."""
         if isinstance(self.detector, StubDetector):
             return self.detector.detect_records(records)
-        images = self.dataset.load_images(batch)
+        if images is None:
+            images = self.dataset.load_images(batch)
         out = self.detector.detect(images)
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -269,33 +272,56 @@ class FusionPipeline:
                                   num_threads=num_threads,
                                   queue_depth=2 * chunk, compaction=spec))
 
-        pending = []
-        done = False
-        while not done:
-            while len(pending) < chunk:
-                try:
-                    idx, pts, valid, n = next(pre)
-                except StopIteration:
-                    done = True
+        def chunks():
+            pending = []
+            done = False
+            while not done:
+                while len(pending) < chunk:
+                    try:
+                        idx, pts, valid, n = next(pre)
+                    except StopIteration:
+                        done = True
+                        break
+                    pending.append((ids[idx], pts, valid, n))
+                if not pending:
                     break
-                pending.append((ids[idx], pts, valid, n))
-            if not pending:
-                break
-            keep = []
-            for fid, pts, valid, n in pending[:chunk]:
-                corners = self.dataset.load_boxes(fid)
-                if corners is None:
+                keep = []
+                for fid, pts, valid, n in pending[:chunk]:
+                    corners = self.dataset.load_boxes(fid)
+                    if corners is None:
+                        continue
+                    keep.append((fid, pts, valid, n, corners))
+                del pending[:chunk]
+                if not keep:
                     continue
-                keep.append((fid, pts, valid, n, corners))
-            pending = pending[chunk:]
-            if not keep:
-                continue
-            batch = self._assemble_stream_batch(keep)
-            records = [FrameRecord(frame_id=fid, points=pts[:n],
-                                   corners_cam0=corners,
-                                   image_path=self.dataset.image_path(fid))
-                       for fid, pts, _, n, corners in keep]
-            detections = self.detect(records, batch)
+                batch = self._assemble_stream_batch(keep)
+                records = [FrameRecord(frame_id=fid, points=pts[:n],
+                                       corners_cam0=corners,
+                                       image_path=self.dataset.image_path(fid))
+                           for fid, pts, _, n, corners in keep]
+                images = (None if isinstance(self.detector, StubDetector)
+                          else self.dataset.load_images(batch))
+                yield keep, batch, records, images
+
+        # image decode / scan IO run one chunk ahead of the device
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for item in chunks():
+                    q.put(item)
+            finally:
+                q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            keep, batch, records, images = item
+            detections = self.detect(records, batch, images=images)
             fused = self.fuse(batch, detections)
             fused_np = {k: np.asarray(v) for k, v in fused.items()
                         if k in ("total_points", "best_box", "points_inside",

@@ -243,3 +243,58 @@ class TestMultiClass:
             key = 0 if abs(b[0] - BOX_A[0]) < 1 else 1
             got[key] = int(c)
         assert got == {0: 0, 1: 1}
+
+
+class TestStarveWeighting:
+    """Per-GT positive upweighting for point-starved boxes (the round-2
+    center-vs-SSD recall-gap lever)."""
+
+    def test_gt_point_counts_rotated(self):
+        from lidar_object_detection_tpu.models.pointpillars.center import (
+            gt_point_counts)
+        # box rotated 90 deg: length (4.2) now spans y, width (1.8) spans x
+        box = jnp.asarray([[[10.0, 0.0, -1.0, 1.8, 4.2, 1.6, np.pi / 2]]])
+        pts = jnp.asarray([[[10.0, 1.9, -1.0, 0.0],    # inside (along len)
+                            [10.0, 2.5, -1.0, 0.0],    # outside (past l/2)
+                            [11.5, 0.0, -1.0, 0.0],    # outside (past w/2)
+                            [10.5, 0.0, -1.0, 0.0]]])  # inside
+        valid = jnp.ones((1, 4), bool)
+        counts = gt_point_counts(pts, valid, box, jnp.ones((1, 1), bool))
+        assert counts.shape == (1, 1)
+        assert int(counts[0, 0]) == 2
+
+    def test_starve_weights_monotone(self):
+        from lidar_object_detection_tpu.models.pointpillars.center import (
+            starve_weights)
+        import dataclasses
+        cfg = dataclasses.replace(TINY, starve_weight=3.0, starve_n0=10.0)
+        rng = np.random.default_rng(0)
+        # box 0 dense (100 points inside), box 1 empty
+        dense = rng.uniform(-0.5, 0.5, (100, 3)) + np.array([10.0, 2.0, -1.0])
+        pts = np.zeros((1, 128, 4), np.float32)
+        pts[0, :100, :3] = dense
+        valid = np.zeros((1, 128), bool)
+        valid[0, :100] = True
+        gt, cls, gv = _gt([BOX_A, BOX_B])
+        w = starve_weights(jnp.asarray(pts), jnp.asarray(valid),
+                           gt[None], gv[None], cfg)
+        assert w.shape == (1, G)
+        assert float(w[0, 1]) > float(w[0, 0])       # starved > dense
+        assert float(w[0, 1]) == pytest.approx(4.0, abs=0.05)  # 1 + 3*e^0
+        assert float(w[0, 0]) < 1.01                  # dense ~ 1
+
+    def test_loss_upweights_starved_gt(self, rng):
+        """With gt_pos_weight, the heatmap loss for an unpredicted starved
+        GT grows, pushing gradient toward forming its peak."""
+        gt, cls, gv = _gt([BOX_A, BOX_B])
+        h = TINY.grid.ny // TINY.out_stride
+        w = TINY.grid.nx // TINY.out_stride
+        out = {"heat": jnp.asarray(rng.normal(size=(1, h, w, 1)) - 4.0,
+                                   jnp.float32),
+               "reg": jnp.zeros((1, h, w, 8), jnp.float32)}
+        base = center_loss(out, gt[None], cls[None], gv[None], TINY)
+        pw = jnp.ones((1, G)).at[0, 1].set(4.0)
+        up = center_loss(out, gt[None], cls[None], gv[None], TINY,
+                         gt_pos_weight=pw)
+        assert float(up["cls"]) > float(base["cls"])
+        assert float(up["box"]) >= float(base["box"])
