@@ -65,6 +65,15 @@ def _project_np(points, velo_to_rect, intrinsics):
     return np.round(proj[:, 0] / az), np.round(proj[:, 1] / az), depth
 
 
+def _iou_xyxy(a, b) -> float:
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+    area = ((a[2] - a[0]) * (a[3] - a[1])
+            + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / max(area, 1e-9)
+
+
 def _disk(r: int) -> np.ndarray:
     y, x = np.ogrid[-r:r + 1, -r:r + 1]
     return (x * x + y * y) <= r * r
@@ -136,9 +145,16 @@ def build_labels(root: str, min_points: int = 30, depth_max: float = 50.0,
         cv = corners @ t.corners_to_velo[:3, :3].T + t.corners_to_velo[:3, 3]
 
         # candidate boxes sorted near -> far so the nearest cars win the
-        # MAX_T slots (and the lowest mask bits, like sort-by-confidence)
+        # MAX_T slots (and the lowest mask bits, like sort-by-confidence).
+        # Occlusion dedup: KITTI-360 annotates full parked-car rows, so
+        # far boxes project almost on top of near ones (302 GT pairs with
+        # 2D-IoU > 0.5 on this sample) -- one visible region must yield
+        # ONE target, or the duplicates become unmatchable FNs (NMS emits
+        # a single box per region by design).
         order = np.argsort([c.mean(0)[0] for c in cv])  # velo x ~ depth
         di = 0
+        occupied = np.zeros((IMG_H, IMG_W), bool)
+        taken_boxes = []
         for g in order:
             from lidar_object_detection_tpu.geom.boxes import \
                 points_in_oriented_boxes
@@ -158,6 +174,14 @@ def build_labels(root: str, min_points: int = 30, depth_max: float = 50.0,
             y0, y1 = ys.min(), ys.max()
             if x1 - x0 < 5 or y1 - y0 < 5:
                 continue
+            # occlusion dedup: skip if mostly covered by nearer targets
+            if (mask & occupied).sum() > 0.5 * mask.sum():
+                continue
+            cand = np.array([x0, y0, x1, y1], np.float32)
+            if any(_iou_xyxy(cand, tb) > 0.6 for tb in taken_boxes):
+                continue
+            occupied |= mask
+            taken_boxes.append(cand)
             out["masks_img"][i, di] = mask
             out["boxes"][i, di] = (x0, y0, x1, y1)
             r, left, top = spec.ratio, spec.left, spec.top

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Fast PointPillars quality-gate check against a committed checkpoint.
+
+Round-2 verdict: the 87/102 recall / 0.847 BEV-AP claim required an
+~8,500 s retrain to confirm.  This runner re-scores a trained checkpoint
+on the 4 eval frames in minutes (TPU) and asserts the gate:
+
+  python examples/verify_pp_gate.py checkpoints/pp_ssd_surround.msgpack \
+      --head ssd --min-recall 80
+
+Exit code 0 iff recall >= --min-recall (of 102 GT boxes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("--head", default="ssd", choices=("ssd", "center"))
+    ap.add_argument("--frames", type=int, default=4,
+                    help="number of eval target frames (default: the 4 "
+                         "round-2 gate frames)")
+    ap.add_argument("--max-points", type=int, default=1 << 18)
+    ap.add_argument("--score-threshold", type=float, default=0.3)
+    ap.add_argument("--min-recall", type=int, default=80)
+    args = ap.parse_args()
+
+    from lidar_object_detection_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
+    from lidar_object_detection_tpu.config import ShapeConfig
+    from lidar_object_detection_tpu.data.kitti360 import Kitti360Dataset
+    from lidar_object_detection_tpu.pipelines import pointpillars as pp
+
+    cfg = pp.resolve_pillars_config(None, surround=True, head=args.head)
+    ds = Kitti360Dataset(KITTI, shapes=ShapeConfig())
+    ids = ds.frame_ids()[:args.frames]
+    frames = pp.load_aggregated_frames(ds, ids, grid=cfg.grid,
+                                       max_points=args.max_points)
+    dets = pp.infer_pointpillars(
+        KITTI, args.ckpt, frame_ids=ids, cfg=cfg, aggregate=True,
+        max_points=args.max_points, score_threshold=args.score_threshold)
+
+    matched = total = ndet = 0
+    for det, (_, gt) in zip(dets, frames):
+        gt7 = np.asarray(gt, np.float32)
+        gv = np.ones(len(gt7), bool)
+        # exact rotated BEV IoU -- the round-2 gate metric
+        ev = pp.evaluate_bev(det, gt7, gv, iou_threshold=0.5, exact=True)
+        matched += ev.matched
+        total += ev.total_gt
+        ndet += ev.total_det
+    out = {"ckpt": args.ckpt, "head": args.head,
+           "recall": f"{matched}/{total}",
+           "precision": round(matched / max(ndet, 1), 3)}
+    print(json.dumps(out))
+    if matched < args.min_recall:
+        print(f"FAIL: recall {matched} < {args.min_recall}", file=sys.stderr)
+        sys.exit(1)
+    print(f"PASS: recall {matched} >= {args.min_recall}")
+
+
+if __name__ == "__main__":
+    main()
