@@ -132,62 +132,79 @@ def main():
 
     fps = iters * n_frames / dt
     extra = {}
+    # each extra costs a fresh multi-minute compile through the relay;
+    # guard the driver's wall-clock with a budget and never let an extra
+    # sink the headline line
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_EXTRA_BUDGET_S", "2400"))
     if os.environ.get("BENCH_EXTRA", "1") == "1":
-        # (a) exact-parity f32 mask assembly, same device-resident layout
-        det_exact = YoloDetector(
-            (cfg.shapes.image_height, cfg.shapes.image_width),
-            YoloConfig(scale=scale),
-            max_detections=cfg.shapes.max_detections,
-            fast_masks=False, dtype=jnp.bfloat16)
+        def extra_exact_masks():
+            # exact-parity f32 mask assembly, same device-resident layout
+            det_exact = YoloDetector(
+                (cfg.shapes.image_height, cfg.shapes.image_width),
+                YoloConfig(scale=scale),
+                max_detections=cfg.shapes.max_detections,
+                fast_masks=False, dtype=jnp.bfloat16)
 
-        @jax.jit
-        def end_to_end_exact(variables, images, points, pvalid, corners,
-                             bvalid):
-            det = det_exact.detect_fn(variables, images)
-            fused = fuse_batch(points, pvalid, det["mask_bits"],
-                               det["det_valid"], corners, bvalid, *calib,
-                               params=params)
-            return fused["total_points"]
+            @jax.jit
+            def end_to_end_exact(variables, images, points, pvalid, corners,
+                                 bvalid):
+                det = det_exact.detect_fn(variables, images)
+                fused = fuse_batch(points, pvalid, det["mask_bits"],
+                                   det["det_valid"], corners, bvalid, *calib,
+                                   params=params)
+                return fused["total_points"]
 
-        args_e = (det_exact.variables, d_images, d_points, d_pvalid,
-                  d_corners, d_bvalid)
-        float(end_to_end_exact(*args_e).sum())
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            tp = end_to_end_exact(*args_e)
-        float(tp.sum())
-        extra["exact_masks_frames_per_sec"] = round(
-            iters * n_frames / (time.perf_counter() - t0), 2)
+            args_e = (det_exact.variables, d_images, d_points, d_pvalid,
+                      d_corners, d_bvalid)
+            float(end_to_end_exact(*args_e).sum())
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                tp = end_to_end_exact(*args_e)
+            float(tp.sum())
+            extra["exact_masks_frames_per_sec"] = round(
+                iters * n_frames / (time.perf_counter() - t0), 2)
 
-        # (b) sustained disk-to-CSV streaming (cvs_erosion analogue)
-        import tempfile
+        def extra_stream():
+            # sustained disk-to-CSV streaming (cvs_erosion analogue)
+            import tempfile
 
-        from lidar_object_detection_tpu.pipelines.runner import \
-            FusionPipeline
-        cache_dir = os.environ.get("BENCH_IMG_CACHE",
-                                   "/tmp/lidar_tpu_img_cache")
-        sds = Kitti360Dataset(KITTI_ROOT, shapes=cfg.shapes,
-                              image_cache_dir=cache_dir)
-        pipe = FusionPipeline(sds, cfg, detector)
-        ids = [f for f in sds.frame_ids() if sds.load_bboxes_exists(f)]
-        # warm: compiles the chunk-sized programs + fills the image cache
-        for _ in pipe.stream(ids, chunk=len(ids)):
-            pass
-        reps = int(os.environ.get("BENCH_STREAM_REPS", "5"))
-        csv_path = os.path.join(tempfile.mkdtemp(), "master.csv")
-        from lidar_object_detection_tpu.eval.statistics import \
-            append_to_master_csv
-        t0 = time.perf_counter()
-        n_stream = 0
-        for _ in range(reps):
-            rows_acc = []
-            for _fid, rows in pipe.stream(ids, chunk=len(ids)):
-                rows_acc.extend(rows)
-                n_stream += 1
-            append_to_master_csv(rows_acc, csv_path)
-        extra["stream_frames_per_sec"] = round(
-            n_stream / (time.perf_counter() - t0), 2)
-        extra["stream_reps"] = reps
+            from lidar_object_detection_tpu.eval.statistics import \
+                append_to_master_csv
+            from lidar_object_detection_tpu.pipelines.runner import \
+                FusionPipeline
+            cache_dir = os.environ.get("BENCH_IMG_CACHE",
+                                       "/tmp/lidar_tpu_img_cache")
+            sds = Kitti360Dataset(KITTI_ROOT, shapes=cfg.shapes,
+                                  image_cache_dir=cache_dir)
+            pipe = FusionPipeline(sds, cfg, detector)
+            ids = [f for f in sds.frame_ids() if sds.load_bboxes_exists(f)]
+            # warm: compiles the chunk-sized programs + fills the image cache
+            for _ in pipe.stream(ids, chunk=len(ids)):
+                pass
+            reps = int(os.environ.get("BENCH_STREAM_REPS", "5"))
+            csv_path = os.path.join(tempfile.mkdtemp(), "master.csv")
+            t0 = time.perf_counter()
+            n_stream = 0
+            for _ in range(reps):
+                rows_acc = []
+                for _fid, rows in pipe.stream(ids, chunk=len(ids)):
+                    rows_acc.extend(rows)
+                    n_stream += 1
+                append_to_master_csv(rows_acc, csv_path)
+            extra["stream_frames_per_sec"] = round(
+                n_stream / (time.perf_counter() - t0), 2)
+            extra["stream_reps"] = reps
+
+        for name, fn in (("exact_masks", extra_exact_masks),
+                         ("stream", extra_stream)):
+            if time.perf_counter() - t_start > budget:
+                extra[f"{name}_skipped"] = "budget"
+                continue
+            try:
+                fn()
+            except Exception as e:   # an extra must never sink the headline
+                extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": f"kitti360_e2e_frames_per_sec_per_chip(yolo11{scale}-seg+fusion)",
