@@ -13,10 +13,13 @@ Usage: python examples/diagnose_pp_ckpt.py [--ckpt=/tmp/pp_ckpt.msgpack]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

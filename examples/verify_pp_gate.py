@@ -58,6 +58,9 @@ def main():
     for det, (_, gt) in zip(dets, frames):
         gt7 = np.asarray(gt, np.float32)
         gv = np.ones(len(gt7), bool)
+        # infer_pointpillars returns pre-filtered detections (no "valid"
+        # slot mask); evaluate_bev wants the padded-slot convention
+        det = dict(det, valid=np.ones(len(det["boxes7"]), bool))
         # exact rotated BEV IoU -- the round-2 gate metric
         ev = pp.evaluate_bev(det, gt7, gv, iou_threshold=0.5, exact=True)
         matched += ev.matched
