@@ -91,6 +91,10 @@ def main():
         YoloConfig(scale=scale),
         max_detections=cfg.shapes.max_detections,
         fast_masks=os.environ.get("BENCH_FAST_MASKS", "1") == "1",
+        # serving weight prep: BN folded into conv kernels, tree stored
+        # bf16 -- removes the per-step f32->bf16 weight stream that
+        # profiling showed at ~72% of device time (weights.py)
+        fold_weights=os.environ.get("BENCH_FOLD_WEIGHTS", "1") == "1",
         dtype=jnp.bfloat16)
 
     # device-resident inputs
@@ -144,7 +148,9 @@ def main():
                 (cfg.shapes.image_height, cfg.shapes.image_width),
                 YoloConfig(scale=scale),
                 max_detections=cfg.shapes.max_detections,
-                fast_masks=False, dtype=jnp.bfloat16)
+                fast_masks=False,
+                fold_weights=os.environ.get("BENCH_FOLD_WEIGHTS", "1") == "1",
+                dtype=jnp.bfloat16)
 
             @jax.jit
             def end_to_end_exact(variables, images, points, pvalid, corners,

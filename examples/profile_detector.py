@@ -71,6 +71,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=38)
     ap.add_argument("--scale", default="x")
+    ap.add_argument("--fold", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fold BN + store weights bf16 (serving prep)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--trace-dir", default="/tmp/jax_detector_trace")
     ap.add_argument("--parse-only", action="store_true")
@@ -91,7 +94,7 @@ def main():
 
     det = YoloDetector((376, 1408), YoloConfig(scale=args.scale),
                        max_detections=32, fast_masks=True,
-                       dtype=jnp.bfloat16)
+                       fold_weights=args.fold, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     images = jax.device_put(jnp.asarray(
         rng.integers(0, 255, (args.batch, 376, 1408, 3), np.uint8)))

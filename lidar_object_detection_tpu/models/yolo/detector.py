@@ -42,7 +42,7 @@ class YoloDetector:
                  variables: Optional[dict] = None, imgsz: int = 640,
                  conf: float = 0.25, iou: float = 0.7, class_id: int = 2,
                  max_detections: int = 32, max_candidates: int = 256,
-                 fast_masks: bool = False,
+                 fast_masks: bool = False, fold_weights: bool = False,
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.model = Yolo11(cfg, dtype=dtype)
@@ -55,6 +55,14 @@ class YoloDetector:
         if variables is None:
             dummy = jnp.zeros((1, self.spec.dst_h, self.spec.dst_w, 3), dtype)
             variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        if fold_weights:
+            # serving-path weight prep: BN folded, tree cast to the model
+            # dtype -- kills the per-step f32->bf16 weight stream that
+            # profiling showed dominating the forward (see
+            # weights.fold_serving_variables)
+            from lidar_object_detection_tpu.models.yolo.weights import \
+                fold_serving_variables
+            variables = fold_serving_variables(variables, dtype=dtype)
         self.variables = variables
         # unjitted fn exposed for composition into larger jitted programs
         self.detect_fn = functools.partial(

