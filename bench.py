@@ -12,6 +12,10 @@ BASELINE.json).  The same line carries two secondary measurements in
 
 * exact_masks_frames_per_sec -- the f32 mask-assembly parity path
   (BENCH_FAST_MASKS=0 equivalent) of the same device-resident pipeline;
+* learned_ckpt_frames_per_sec -- the same pipeline behind the committed
+  distilled yolo11n-seg checkpoint (the in-repo learned detector that
+  produced artifacts/learned_detector/): real weights, n-scale, so the
+  detector shrinks and the fusion stages set the pace;
 * stream_frames_per_sec -- sustained DISK-to-CSV streaming through
   FusionPipeline.stream(): the C++ threaded scan prefetcher with host
   frustum compaction + raw-cache image reads + the full device pipeline +
@@ -171,6 +175,49 @@ def main():
             extra["exact_masks_frames_per_sec"] = round(
                 iters * n_frames / (time.perf_counter() - t0), 2)
 
+        def extra_learned_ckpt():
+            # serving the committed learned checkpoint (n-scale, real
+            # weights -- the detector behind artifacts/learned_detector/)
+            import json as _json
+
+            from flax import serialization
+            ckpt = os.environ.get(
+                "BENCH_LEARNED_CKPT",
+                os.path.join(ROOT, "checkpoints",
+                             "yolo11n_seg_distill.msgpack"))
+            with open(ckpt + ".json") as f:
+                lscale = _json.load(f).get("scale", "n")
+            with open(ckpt, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+            det_l = YoloDetector(
+                (cfg.shapes.image_height, cfg.shapes.image_width),
+                YoloConfig(scale=lscale), variables=raw["variables"],
+                max_detections=cfg.shapes.max_detections,
+                fast_masks=os.environ.get("BENCH_FAST_MASKS", "1") == "1",
+                fold_weights=os.environ.get(
+                    "BENCH_FOLD_WEIGHTS", "1") == "1",
+                dtype=jnp.bfloat16)
+
+            @jax.jit
+            def end_to_end_l(variables, images, points, pvalid, corners,
+                             bvalid):
+                det = det_l.detect_fn(variables, images)
+                fused = fuse_batch(points, pvalid, det["mask_bits"],
+                                   det["det_valid"], corners, bvalid, *calib,
+                                   params=params)
+                return fused["total_points"]
+
+            args_l = (det_l.variables, d_images, d_points, d_pvalid,
+                      d_corners, d_bvalid)
+            float(end_to_end_l(*args_l).sum())
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                tp = end_to_end_l(*args_l)
+            float(tp.sum())
+            extra["learned_ckpt_frames_per_sec"] = round(
+                iters * n_frames / (time.perf_counter() - t0), 2)
+            extra["learned_ckpt_scale"] = lscale
+
         def extra_stream():
             # sustained disk-to-CSV streaming (cvs_erosion analogue)
             import tempfile
@@ -202,7 +249,8 @@ def main():
                 n_stream / (time.perf_counter() - t0), 2)
             extra["stream_reps"] = reps
 
-        for name, fn in (("exact_masks", extra_exact_masks),
+        for name, fn in (("learned_ckpt", extra_learned_ckpt),
+                         ("exact_masks", extra_exact_masks),
                          ("stream", extra_stream)):
             if time.perf_counter() - t_start > budget:
                 extra[f"{name}_skipped"] = "budget"

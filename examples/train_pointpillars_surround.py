@@ -13,7 +13,7 @@ eval every 500 steps with rotated-NMS decode, recall + BEV-AP reported.
 Usage: python examples/train_pointpillars_surround.py [steps] [out.json]
            [--subsample=65536] [--fade=0.85] [--frames=4] [--lr=2e-3]
            [--cache=/tmp/pp_frames.npz] [--ckpt=/tmp/pp_ckpt.msgpack]
-           [--head=ssd|center]
+           [--head=ssd|center] [--starve-weight=4] [--protect-starved=2048]
 
 ``--cache`` memoizes the pose-aggregated clouds (the aggregation +
 GT-database build costs ~8 min); ``--ckpt`` saves train state after every
@@ -61,6 +61,14 @@ def main():
     head = flag_val("head", "ssd", str)
     starve_w = flag_val("starve-weight", 0.0, float)
     no_augment = "--no-augment" in flags   # pure clean-frame overfit polish
+    # protect-starved=T: points inside GT boxes holding <= T points are
+    # exempt from the per-step random subsample.  Root cause this fixes:
+    # uniform subsampling to --subsample keeps ~25 % of each cloud, so a
+    # distant box with < 10 aggregate points has most training steps see
+    # ZERO of them -- its pillars are empty and (for the conv-only center
+    # head especially) no peak can form.  Applied where the clean-frame
+    # index mapping holds (polish + post-fade global phase).
+    protect_thresh = flag_val("protect-starved", 0, int)
 
     root = "/root/reference/KITTI360_sample"
     chunk = 500
@@ -71,7 +79,8 @@ def main():
     report = {"chunks": [], "config": {
         "steps": steps, "subsample": subsample, "fade": fade,
         "frames": n_frames, "lr_peak": lr_peak, "head": head,
-        "starve_weight": starve_w, "grid": "kitti360_surround"}}
+        "starve_weight": starve_w, "protect_starved": protect_thresh,
+        "grid": "kitti360_surround"}}
     try:
         with open(out_path) as f:
             report["chunks"] = json.load(f).get("chunks", [])
@@ -100,7 +109,8 @@ def main():
         print(f"aggregating {len(ds.frame_ids())} sweeps into "
               f"{len(targets)} target frames...", flush=True)
         frames = pp.load_aggregated_frames(ds, targets, grid=cfg.grid,
-                                           max_points=eval_points)
+                                           max_points=eval_points,
+                                           protect_in_box=protect_thresh)
         if cache_path:
             arrs = {"n": np.int32(len(frames))}
             for i, (p, b) in enumerate(frames):
@@ -108,6 +118,39 @@ def main():
             np.savez(cache_path, **arrs)
     for (p, b) in frames:
         print(f"  {len(p)} pts, {len(b)} gt boxes", flush=True)
+    prot_idx = rest_idx = None
+    if protect_thresh > 0:
+        # per clean frame: indices of points inside starved GT boxes
+        # (count <= protect_thresh); AABB-prefiltered rotated membership,
+        # same box7 convention as examples/diagnose_pp_ckpt.py
+        prot_idx, rest_idx = [], []
+        for (p, bx) in frames:
+            keep = []
+            for b in np.asarray(bx, np.float32).reshape(-1, 7):
+                d0 = p[:, 0] - b[0]
+                d1 = p[:, 1] - b[1]
+                r = float(np.hypot(b[3], b[4])) / 2
+                cand = np.nonzero((np.abs(d0) <= r) & (np.abs(d1) <= r))[0]
+                if len(cand) == 0 or len(cand) > 8 * protect_thresh:
+                    continue
+                c, si = np.cos(b[6]), np.sin(b[6])
+                lx = d0[cand] * c + d1[cand] * si
+                ly = -d0[cand] * si + d1[cand] * c
+                inb = ((np.abs(lx) <= b[4] / 2) & (np.abs(ly) <= b[3] / 2)
+                       & (p[cand, 2] >= b[2] - b[5] / 2)
+                       & (p[cand, 2] <= b[2] + b[5] / 2))
+                idx = cand[inb]
+                if 0 < len(idx) <= protect_thresh:
+                    keep.append(idx)
+            pr = (np.unique(np.concatenate(keep)) if keep
+                  else np.zeros(0, np.int64))
+            prot_idx.append(pr)
+            rest_idx.append(np.setdiff1d(np.arange(len(p)), pr,
+                                         assume_unique=False))
+        print("protect-starved: " + ", ".join(
+            f"{len(pr)}/{len(p)}" for pr, (p, _) in zip(prot_idx, frames)),
+            flush=True)
+
     db = GtDatabase.build(frames)
     print(f"gt database: {len(db)} cut-outs "
           f"({time.time() - t0:.0f}s)", flush=True)
@@ -201,6 +244,7 @@ def main():
             gv = np.zeros((b, MAX_GT), bool)
             for j, i in enumerate(sel):
                 p, bx = frames[i]
+                mapping_intact = no_augment or s >= fade_step
                 if no_augment:
                     pass
                 elif s < fade_step:
@@ -210,7 +254,14 @@ def main():
                 else:
                     p, bx = global_augment(p, bx, prng)
                 if len(p) > subsample:
-                    idx = prng.choice(len(p), subsample, replace=False)
+                    if (prot_idx is not None and mapping_intact
+                            and 0 < len(prot_idx[i]) < subsample):
+                        take = subsample - len(prot_idx[i])
+                        idx = np.concatenate([
+                            prot_idx[i],
+                            prng.choice(rest_idx[i], take, replace=False)])
+                    else:
+                        idx = prng.choice(len(p), subsample, replace=False)
                     p = p[idx]
                 k = len(p)
                 pts[j, :k] = p

@@ -33,6 +33,10 @@ def main():
                     help="number of eval target frames (default: the 4 "
                          "round-2 gate frames)")
     ap.add_argument("--max-points", type=int, default=1 << 18)
+    ap.add_argument("--protect-in-box", type=int, default=0,
+                    help="GT-aware point-cap protection (points/box) for "
+                         "the eval aggregates; match the value the "
+                         "checkpoint was trained with")
     ap.add_argument("--score-threshold", type=float, default=0.3)
     ap.add_argument("--min-recall", type=int, default=80)
     args = ap.parse_args()
@@ -49,10 +53,12 @@ def main():
     ds = Kitti360Dataset(KITTI, shapes=ShapeConfig())
     ids = ds.frame_ids()[:args.frames]
     frames = pp.load_aggregated_frames(ds, ids, grid=cfg.grid,
-                                       max_points=args.max_points)
+                                       max_points=args.max_points,
+                                       protect_in_box=args.protect_in_box)
     dets = pp.infer_pointpillars(
         KITTI, args.ckpt, frame_ids=ids, cfg=cfg, aggregate=True,
-        max_points=args.max_points, score_threshold=args.score_threshold)
+        max_points=args.max_points, protect_in_box=args.protect_in_box,
+        score_threshold=args.score_threshold)
 
     matched = total = ndet = 0
     for det, (_, gt) in zip(dets, frames):

@@ -109,7 +109,8 @@ def load_aggregated_frames(dataset: Kitti360Dataset,
                            target_frames: Sequence[int],
                            source_frames: Optional[Sequence[int]] = None,
                            grid=None,
-                           max_points: Optional[int] = None):
+                           max_points: Optional[int] = None,
+                           protect_in_box: int = 0):
     """Multi-sweep training frames: (points (P, 4), gt boxes7 (G, 7)) per
     target frame, each cloud pose-aggregated from ``source_frames`` into
     the target's velodyne coordinates and cropped to ``grid`` bounds.
@@ -119,6 +120,13 @@ def load_aggregated_frames(dataset: Kitti360Dataset,
     sample's first 4 frames), while aggregating the sample's sweeps fills
     101/102 -- the pose chain is data/poses.py.  Cropping to the pillar
     grid keeps the point budget where the detector can use it.
+
+    ``protect_in_box`` > 0 makes the ``max_points`` cap GT-aware: up to
+    that many points per GT box are exempt from the stride subsample.
+    The plain stride keeps only ~10-25 % of a multi-megapoint aggregate,
+    which strands distant boxes (a 40-point box keeps ~4-10) below any
+    detector's reach; protection preserves every sparse box's full point
+    set while the dense remainder is strided as before.
     """
     from lidar_object_detection_tpu.data.poses import (aggregate_sweeps,
                                                        load_pose_table)
@@ -139,10 +147,6 @@ def load_aggregated_frames(dataset: Kitti360Dataset,
                     & (pts[:, 2] >= grid.z_range[0])
                     & (pts[:, 2] <= grid.z_range[1]))
             pts = pts[keep]
-        if max_points is not None and len(pts) > max_points:
-            stride_idx = np.linspace(0, len(pts) - 1,
-                                     max_points).astype(np.int64)
-            pts = pts[stride_idx]
         rec = dataset.load_frame(tf, require_image=False)
         corners_velo = np.asarray(transform_corners(
             jnp.asarray(rec.corners_cam0.astype(np.float32)),
@@ -150,8 +154,42 @@ def load_aggregated_frames(dataset: Kitti360Dataset,
         from lidar_object_detection_tpu.models.pointpillars import (
             corners_to_boxes7 as _c2b)
         boxes7 = np.asarray(_c2b(corners_velo), np.float32).reshape(-1, 7)
+        if max_points is not None and len(pts) > max_points:
+            pts = cap_points_protected(pts, boxes7, max_points,
+                                       protect_in_box)
         out.append((np.ascontiguousarray(pts), boxes7))
     return out
+
+
+def cap_points_protected(pts: np.ndarray, boxes7: np.ndarray,
+                         max_points: int,
+                         protect_in_box: int = 0) -> np.ndarray:
+    """Cap a cloud to ``max_points``, optionally exempting up to
+    ``protect_in_box`` points per GT box from the stride subsample.
+
+    Order-preserving (the kept indices are sorted), so downstream code
+    that precomputes per-index structures on the capped cloud stays
+    valid.  ``protect_in_box == 0`` is the plain uniform stride."""
+    if len(pts) <= max_points:
+        return pts
+    if protect_in_box <= 0:
+        return pts[np.linspace(0, len(pts) - 1,
+                               max_points).astype(np.int64)]
+    from lidar_object_detection_tpu.models.pointpillars.augment import \
+        points_in_box7
+    prot = np.zeros(len(pts), bool)
+    for b in np.asarray(boxes7, np.float32).reshape(-1, 7):
+        idx = np.nonzero(points_in_box7(pts, b))[0]
+        if len(idx) > protect_in_box:
+            idx = idx[np.linspace(0, len(idx) - 1,
+                                  protect_in_box).astype(np.int64)]
+        prot[idx] = True
+    pidx = np.nonzero(prot)[0]
+    rest = np.nonzero(~prot)[0]
+    take = max(0, max_points - len(pidx))
+    stride = rest[np.linspace(0, len(rest) - 1, take).astype(np.int64)] \
+        if take and len(rest) else np.zeros(0, np.int64)
+    return pts[np.sort(np.concatenate([pidx, stride]))[:max_points]]
 
 
 def bev_average_precision(dets, gts, iou_threshold: float = 0.5) -> float:
@@ -404,6 +442,7 @@ def infer_pointpillars(dataset_root: str, ckpt_path: str,
                        aggregate: bool = False,
                        head: Optional[str] = None,
                        max_points: Optional[int] = None,
+                       protect_in_box: int = 0,
                        score_threshold: float = 0.3,
                        rotated_nms: bool = True,
                        output_dir: Optional[str] = None,
@@ -432,7 +471,8 @@ def infer_pointpillars(dataset_root: str, ckpt_path: str,
     ids = list(frame_ids or ds.frame_ids())
     if aggregate:
         frames = load_aggregated_frames(ds, ids, grid=cfg.grid,
-                                        max_points=p_max)
+                                        max_points=p_max,
+                                        protect_in_box=protect_in_box)
         clouds = iter(p for p, _ in frames)
     else:
         # stream: one cloud resident at a time

@@ -572,3 +572,44 @@ def test_infer_aggregate_path(dataset, tmp_path):
                              cfg=TINY, aggregate=True, max_points=2048,
                              score_threshold=0.99)
     assert len(out) == 1 and out[0]["frame"] == 100
+
+
+def test_cap_points_protected():
+    """GT-aware point cap: sparse boxes survive the stride untouched,
+    dense boxes are capped, order is preserved, budget is exact."""
+    from lidar_object_detection_tpu.pipelines.pointpillars import \
+        cap_points_protected
+
+    rng = np.random.default_rng(0)
+    bg = rng.uniform(-50, 50, (20000, 4)).astype(np.float32)
+    bg[:, 2] = rng.uniform(3, 5, len(bg))          # background above boxes
+    dense = np.zeros((3000, 4), np.float32)
+    dense[:, :3] = rng.uniform(-0.8, 0.8, (3000, 3)) * [1.8, 0.7, 0.6]
+    dense[:, :3] += [10.0, 0.0, 0.0]
+    sparse = np.zeros((7, 4), np.float32)
+    sparse[:, :3] = rng.uniform(-0.5, 0.5, (7, 3)) * [1.5, 0.6, 0.5]
+    sparse[:, :3] += [40.0, 20.0, 0.0]
+    pts = np.concatenate([bg, dense, sparse])
+    order = rng.permutation(len(pts))
+    pts = pts[order]
+    sparse_idx = np.nonzero(order >= len(bg) + len(dense))[0]
+    boxes7 = np.asarray([[10.0, 0, 0, 1.6, 4.0, 1.5, 0.0],
+                         [40.0, 20, 0, 1.6, 4.0, 1.5, 0.0]], np.float32)
+
+    capped = cap_points_protected(pts, boxes7, 4096, protect_in_box=256)
+    assert len(capped) == 4096
+    # every sparse-box point survives
+    sset = {tuple(p) for p in pts[sparse_idx]}
+    kept = sum(1 for p in capped if tuple(p) in sset)
+    assert kept == len(sparse_idx)
+    # plain stride would keep ~7 * 4096/23007 ~ 1 of them on average;
+    # protected keeps all 7.  Dense box keeps at least the protected cap.
+    from lidar_object_detection_tpu.models.pointpillars.augment import \
+        points_in_box7
+    assert points_in_box7(capped, boxes7[0]).sum() >= 256
+    # no-protection path unchanged: uniform stride of the whole cloud
+    plain = cap_points_protected(pts, boxes7, 4096, protect_in_box=0)
+    assert len(plain) == 4096
+    # under-budget clouds pass through untouched
+    small = pts[:100]
+    assert cap_points_protected(small, boxes7, 4096, 256) is small
