@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Export a slim serving checkpoint from a YOLO distillation run.
+
+``train_yolo_distill.py`` writes ``{"variables", "step"}`` in f32 plus a
+separate ``.opt`` optimizer-state file.  For committing to the repo the
+f32 tree is dead weight: serving casts to bf16 anyway (detector
+``dtype=bf16`` / ``fold_serving_variables``), and flax's msgpack round-
+trips bf16 natively.  This halves the file (yolo11x-seg: 249 MB -> 125 MB)
+while keeping the ``{"variables", "step"}`` layout that
+``examples/regen_artifacts.py`` / ``bench.py`` restore, and copies the
+scale sidecar.
+
+  python examples/export_yolo_ckpt.py /tmp/yolo_x_distill.msgpack \
+      checkpoints/yolo11x_seg_distill.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="storage dtype for float arrays (bfloat16/float32)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    store_dtype = jnp.dtype(args.dtype)
+
+    def cast(x):
+        arr = np.asarray(x)
+        if np.issubdtype(arr.dtype, np.floating):
+            return arr.astype(store_dtype)
+        return arr
+
+    with open(args.src, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    import jax
+    slim = {"variables": jax.tree.map(cast, raw["variables"]),
+            "step": raw["step"]}
+    payload = serialization.msgpack_serialize(slim)
+    tmp = args.dst + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, args.dst)
+
+    src_sidecar, dst_sidecar = args.src + ".json", args.dst + ".json"
+    meta = None
+    if os.path.exists(src_sidecar):
+        shutil.copyfile(src_sidecar, dst_sidecar)
+        with open(dst_sidecar) as f:
+            meta = json.load(f)
+    print(f"{args.src} -> {args.dst}: {len(payload) / 1e6:.1f} MB "
+          f"(was {os.path.getsize(args.src) / 1e6:.1f}), "
+          f"step {int(np.asarray(raw['step']))}, sidecar {meta}")
+
+
+if __name__ == "__main__":
+    main()
