@@ -18,6 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT_DIR = os.path.join(REPO, "checkpoints")
 
 YOLO_CKPT = os.path.join(CKPT_DIR, "yolo11n_seg_distill.msgpack")
+YOLO_X_CKPT = os.path.join(CKPT_DIR, "yolo11x_seg_distill.msgpack")
 PP_SSD = os.path.join(CKPT_DIR, "pp_ssd_surround.msgpack")
 PP_CENTER = os.path.join(CKPT_DIR, "pp_center_surround.msgpack")
 
@@ -32,9 +33,10 @@ def _tree_shapes(t, prefix=""):
     return out
 
 
-@pytest.mark.skipif(not os.path.exists(YOLO_CKPT),
-                    reason="distilled YOLO checkpoint not committed yet")
-def test_yolo_distill_ckpt_matches_model_structure():
+@pytest.mark.parametrize("ckpt_path", [YOLO_CKPT, YOLO_X_CKPT])
+def test_yolo_distill_ckpt_matches_model_structure(ckpt_path):
+    if not os.path.exists(ckpt_path):
+        pytest.skip(f"{os.path.basename(ckpt_path)} not committed yet")
     import jax
     import jax.numpy as jnp
     from flax import serialization
@@ -44,9 +46,9 @@ def test_yolo_distill_ckpt_matches_model_structure():
     from lidar_object_detection_tpu.models.yolo.postprocess import \
         LetterboxSpec
 
-    with open(YOLO_CKPT + ".json") as f:
+    with open(ckpt_path + ".json") as f:
         meta = json.load(f)
-    with open(YOLO_CKPT, "rb") as f:
+    with open(ckpt_path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     spec = LetterboxSpec.build(376, 1408, 640)
     model = Yolo11(YoloConfig(scale=meta["scale"]))
