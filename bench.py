@@ -90,9 +90,22 @@ def main():
         pv = np.stack([c[1][:p] for c in compacted] * replicas)
         batch = dataclasses.replace(batch, points=pts, point_valid=pv)
 
+    # headline weights: the committed distilled checkpoint for this scale
+    # when present (real learned weights; identical FLOPs/layout to random
+    # init, so the throughput is unchanged -- but the measured pipeline is
+    # then the exact serving artifact).  BENCH_WEIGHTS=none forces random.
+    variables = None
+    wpath = os.environ.get(
+        "BENCH_WEIGHTS",
+        os.path.join(ROOT, "checkpoints", f"yolo11{scale}_seg_distill.msgpack"))
+    if wpath != "none" and os.path.exists(wpath):
+        from flax import serialization
+        with open(wpath, "rb") as f:
+            variables = serialization.msgpack_restore(f.read())["variables"]
+
     detector = YoloDetector(
         (cfg.shapes.image_height, cfg.shapes.image_width),
-        YoloConfig(scale=scale),
+        YoloConfig(scale=scale), variables=variables,
         max_detections=cfg.shapes.max_detections,
         fast_masks=os.environ.get("BENCH_FAST_MASKS", "1") == "1",
         # serving weight prep: BN folded into conv kernels, tree stored
@@ -139,7 +152,8 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = iters * n_frames / dt
-    extra = {}
+    extra = {"headline_weights": os.path.basename(wpath)
+             if variables is not None else "random_init"}
     # each extra costs a fresh multi-minute compile through the relay;
     # guard the driver's wall-clock with a budget and never let an extra
     # sink the headline line
@@ -150,7 +164,7 @@ def main():
             # exact-parity f32 mask assembly, same device-resident layout
             det_exact = YoloDetector(
                 (cfg.shapes.image_height, cfg.shapes.image_width),
-                YoloConfig(scale=scale),
+                YoloConfig(scale=scale), variables=variables,
                 max_detections=cfg.shapes.max_detections,
                 fast_masks=False,
                 fold_weights=os.environ.get("BENCH_FOLD_WEIGHTS", "1") == "1",

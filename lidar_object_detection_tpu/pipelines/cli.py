@@ -86,10 +86,32 @@ def _build_detector(args, dataset):
     return det
 
 
+def _select_platform(platform: str | None) -> None:
+    """Pin the JAX backend before first use.
+
+    The deployment image's sitecustomize registers the TPU backend for
+    every process, so a plain ``JAX_PLATFORMS`` env var set by the user is
+    ignored once jax initialises; ``jax.config`` wins over both.  Called
+    before any jax computation so ``--platform cpu`` (or
+    ``LIDAR_TPU_PLATFORM=cpu``) gives a working CPU run on a machine whose
+    TPU is busy or unreachable.
+    """
+    platform = platform or os.environ.get("LIDAR_TPU_PLATFORM")
+    if platform and platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
     from lidar_object_detection_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="lidar_object_detection_tpu")
+    parser.add_argument(
+        "--platform", default=None,
+        help="JAX backend to run on (e.g. cpu, tpu, axon; default: the "
+             "process default). Also settable via LIDAR_TPU_PLATFORM. Must "
+             "precede the subcommand.")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     run_p = sub.add_parser("run", help="run a fusion pipeline version")
@@ -167,6 +189,7 @@ def main(argv=None) -> int:
     k2_p.add_argument("--conf", type=float, default=0.5)
 
     args = parser.parse_args(argv)
+    _select_platform(args.platform)
 
     if args.cmd == "convert-weights":
         from lidar_object_detection_tpu.models.yolo.detector import YoloDetector

@@ -153,13 +153,14 @@ def test_kitti2d_pipeline(tmp_path):
 
 
 def test_cli_run(kitti_root, tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    # drives the real entry point, including the --platform backend pin
+    # (the deployment sitecustomize ignores JAX_PLATFORMS once jax is up)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
     out = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; jax.config.update('jax_platforms','cpu');"
-         "from lidar_object_detection_tpu.pipelines.cli import main;"
-         f"main(['run','--dataset','{kitti_root}','--version','v1_pointwise',"
-         f"'--frames','100','--output','{tmp_path}','--export-ply'])"],
+        [sys.executable, "-m", "lidar_object_detection_tpu",
+         "--platform", "cpu",
+         "run", "--dataset", str(kitti_root), "--version", "v1_pointwise",
+         "--frames", "100", "--output", str(tmp_path), "--export-ply"],
         capture_output=True, text=True, env=env, timeout=900)
     assert out.returncode == 0, out.stderr
     assert "processed 1 frames" in out.stdout
