@@ -17,6 +17,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <queue>
@@ -25,6 +26,10 @@
 #include <vector>
 
 #include <cmath>
+
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -47,13 +52,12 @@ struct Compaction {
 
 // Filter n raw points (in[4n]) into out[max_out*4]; returns the compacted
 // count, or -1 on overflow (caller falls back to the uncompacted path).
-long compact_points(const Compaction& c, const float* in, long n,
-                    float* out, long max_out) {
+long compact_points_scalar(const Compaction& c, const float* in, long n,
+                           float* out, long max_out, long m = 0) {
   const float* P = c.proj;
   const float u_lo = -(c.margin + 0.5f), u_hi = c.width - 0.5f + c.margin;
   const float v_lo = u_lo, v_hi = c.height - 0.5f + c.margin;
   const float d_lo = c.depth_min - 1e-3f, d_hi = c.depth_max + 1e-3f;
-  long m = 0;
   for (long i = 0; i < n; ++i) {
     const float x = in[4 * i], y = in[4 * i + 1], z = in[4 * i + 2];
     const float pz = P[8] * x + P[9] * y + P[10] * z + P[11];
@@ -71,6 +75,110 @@ long compact_points(const Compaction& c, const float* in, long n,
   }
   std::memset(out + 4 * m, 0, (size_t)(max_out - m) * 4 * sizeof(float));
   return m;
+}
+
+#if defined(__x86_64__) && defined(__GNUC__)
+// AVX-512 compaction: 16 points per iteration.  The AoS scan layout stays
+// in four zmm registers for the output side (VCOMPRESSPS preserves lane
+// order, so each surviving point's x,y,z,r stay adjacent); x/y/z are
+// deinterleaved with two-level VPERMT2PS for the predicate math.  The
+// predicate uses FMA where the scalar path has separate mul/add -- a
+// <=1-ulp difference absorbed by the CONSERVATIVE margin (see Compaction),
+// and the overflow/padding semantics match compact_points_scalar exactly.
+__attribute__((target("avx512f")))
+long compact_points_avx512(const Compaction& c, const float* in, long n,
+                           float* out, long max_out) {
+  const float* P = c.proj;
+  const __m512 p0 = _mm512_set1_ps(P[0]), p1 = _mm512_set1_ps(P[1]),
+               p2 = _mm512_set1_ps(P[2]), p3 = _mm512_set1_ps(P[3]),
+               p4 = _mm512_set1_ps(P[4]), p5 = _mm512_set1_ps(P[5]),
+               p6 = _mm512_set1_ps(P[6]), p7 = _mm512_set1_ps(P[7]),
+               p8 = _mm512_set1_ps(P[8]), p9 = _mm512_set1_ps(P[9]),
+               p10 = _mm512_set1_ps(P[10]), p11 = _mm512_set1_ps(P[11]);
+  const __m512 u_lo = _mm512_set1_ps(-(c.margin + 0.5f));
+  const __m512 u_hi = _mm512_set1_ps(c.width - 0.5f + c.margin);
+  const __m512 v_hi = _mm512_set1_ps(c.height - 0.5f + c.margin);
+  const __m512 d_lo = _mm512_set1_ps(c.depth_min - 1e-3f);
+  const __m512 d_hi = _mm512_set1_ps(c.depth_max + 1e-3f);
+  const __m512 eps = _mm512_set1_ps(1e-6f);
+  const __m512 ones = _mm512_set1_ps(1.0f);
+  // lane j of idx_c{0,1,2} selects component {x,y,z} of point j%8 from a
+  // pair of AoS registers; idx_cat merges two such low halves
+  const __m512i idx_c0 = _mm512_setr_epi32(0, 4, 8, 12, 16, 20, 24, 28,
+                                           0, 0, 0, 0, 0, 0, 0, 0);
+  const __m512i idx_c1 = _mm512_setr_epi32(1, 5, 9, 13, 17, 21, 25, 29,
+                                           0, 0, 0, 0, 0, 0, 0, 0);
+  const __m512i idx_c2 = _mm512_setr_epi32(2, 6, 10, 14, 18, 22, 26, 30,
+                                           0, 0, 0, 0, 0, 0, 0, 0);
+  const __m512i idx_cat = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7,
+                                            16, 17, 18, 19, 20, 21, 22, 23);
+  // 4-bit point mask -> 16-bit float-lane mask (each bit replicated x4)
+  static const uint16_t kExpand4[16] = {
+      0x0000, 0x000F, 0x00F0, 0x00FF, 0x0F00, 0x0F0F, 0x0FF0, 0x0FFF,
+      0xF000, 0xF00F, 0xF0F0, 0xF0FF, 0xFF00, 0xFF0F, 0xFFF0, 0xFFFF};
+
+  long m = 0;
+  long i = 0;
+  for (; i + 16 <= n; i += 16) {
+    const __m512 a = _mm512_loadu_ps(in + 4 * i);        // points i+0..3
+    const __m512 b = _mm512_loadu_ps(in + 4 * i + 16);   // points i+4..7
+    const __m512 cc = _mm512_loadu_ps(in + 4 * i + 32);  // points i+8..11
+    const __m512 d = _mm512_loadu_ps(in + 4 * i + 48);   // points i+12..15
+    const __m512 x = _mm512_permutex2var_ps(
+        _mm512_permutex2var_ps(a, idx_c0, b), idx_cat,
+        _mm512_permutex2var_ps(cc, idx_c0, d));
+    const __m512 y = _mm512_permutex2var_ps(
+        _mm512_permutex2var_ps(a, idx_c1, b), idx_cat,
+        _mm512_permutex2var_ps(cc, idx_c1, d));
+    const __m512 z = _mm512_permutex2var_ps(
+        _mm512_permutex2var_ps(a, idx_c2, b), idx_cat,
+        _mm512_permutex2var_ps(cc, idx_c2, d));
+
+    const __m512 pz = _mm512_fmadd_ps(
+        p8, x, _mm512_fmadd_ps(p9, y, _mm512_fmadd_ps(p10, z, p11)));
+    __mmask16 keep = _mm512_kand(_mm512_cmp_ps_mask(pz, d_lo, _CMP_GT_OQ),
+                                 _mm512_cmp_ps_mask(pz, d_hi, _CMP_LT_OQ));
+    if (keep == 0) continue;
+    const __m512 az = _mm512_max_ps(_mm512_abs_ps(pz), eps);
+    const __m512 inv = _mm512_div_ps(ones, az);
+    const __m512 pu = _mm512_mul_ps(
+        _mm512_fmadd_ps(p0, x,
+                        _mm512_fmadd_ps(p1, y, _mm512_fmadd_ps(p2, z, p3))),
+        inv);
+    const __m512 pv = _mm512_mul_ps(
+        _mm512_fmadd_ps(p4, x,
+                        _mm512_fmadd_ps(p5, y, _mm512_fmadd_ps(p6, z, p7))),
+        inv);
+    keep = _mm512_kand(keep, _mm512_cmp_ps_mask(pu, u_lo, _CMP_GE_OQ));
+    keep = _mm512_kand(keep, _mm512_cmp_ps_mask(pu, u_hi, _CMP_LE_OQ));
+    keep = _mm512_kand(keep, _mm512_cmp_ps_mask(pv, u_lo, _CMP_GE_OQ));
+    keep = _mm512_kand(keep, _mm512_cmp_ps_mask(pv, v_hi, _CMP_LE_OQ));
+    const unsigned bits = (unsigned)keep;
+    const __m512 groups[4] = {a, b, cc, d};
+    for (int g = 0; g < 4; ++g) {
+      const unsigned sub = (bits >> (4 * g)) & 0xF;
+      if (sub == 0) continue;
+      const int cnt = __builtin_popcount(sub);
+      if (m + cnt > max_out) return -1;
+      _mm512_mask_compressstoreu_ps(out + 4 * m, kExpand4[sub], groups[g]);
+      m += cnt;
+    }
+  }
+  // scalar tail handles the remaining n%16 points + padding/overflow
+  return compact_points_scalar(c, in + 4 * i, n - i, out, max_out, m);
+}
+#endif  // __x86_64__ && __GNUC__
+
+long compact_points(const Compaction& c, const float* in, long n,
+                    float* out, long max_out) {
+#if defined(__x86_64__) && defined(__GNUC__)
+  // LIDAR_LOADER_NO_AVX512=1 pins the scalar path (parity tests, timing)
+  static const bool have_avx512 =
+      __builtin_cpu_supports("avx512f") &&
+      std::getenv("LIDAR_LOADER_NO_AVX512") == nullptr;
+  if (have_avx512) return compact_points_avx512(c, in, n, out, max_out);
+#endif
+  return compact_points_scalar(c, in, n, out, max_out);
 }
 
 // Read one .bin scan into out[max_points*4], zero-padded; valid[i] marks

@@ -30,8 +30,8 @@ class PillarsTrainer:
 
         pts = jnp.zeros((1, num_points, 4), jnp.float32)
         pv = jnp.zeros((1, num_points), bool)
-        variables = self.model.init(jax.random.PRNGKey(seed), pts, pv,
-                                    train=False)
+        variables = jax.jit(functools.partial(self.model.init, train=False))(
+            jax.random.PRNGKey(seed), pts, pv)
         variables = jax.device_put(
             variables, NamedSharding(mesh, P()))
         self.state = TrainState(variables=variables,

@@ -54,7 +54,8 @@ class YoloDetector:
             max_detections=max_detections, fast_masks=fast_masks)
         if variables is None:
             dummy = jnp.zeros((1, self.spec.dst_h, self.spec.dst_w, 3), dtype)
-            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed),
+                                                 dummy)
         if fold_weights:
             # serving-path weight prep: BN folded, tree cast to the model
             # dtype -- kills the per-step f32->bf16 weight stream that

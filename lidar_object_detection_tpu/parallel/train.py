@@ -396,8 +396,10 @@ class YoloTrainer:
         self.tx = optax.adamw(learning_rate, weight_decay=weight_decay)
 
         dummy = jnp.zeros((1, *image_size, 3), dtype)
-        variables = self.model.init(jax.random.PRNGKey(seed), dummy,
-                                    train=False)
+        # jitted init: eager flax init dispatches every layer op
+        # individually (~10x slower on CPU, relay-bound on TPU)
+        variables = jax.jit(functools.partial(self.model.init, train=False))(
+            jax.random.PRNGKey(seed), dummy)
         self.var_shardings = param_shardings(mesh, variables)
         variables = jax.device_put(variables, self.var_shardings)
         params = variables["params"]

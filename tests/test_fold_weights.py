@@ -47,7 +47,7 @@ def jittered_model():
     cfg = YoloConfig(scale="n", num_classes=80, segment=True)
     model = Yolo11(cfg)
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     variables = _jitter(variables, seed=7)
     img = jnp.asarray(
         np.random.default_rng(3).uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
@@ -65,8 +65,9 @@ def test_fold_identity_f32(jittered_model):
     reassociation-level float error)."""
     model, variables, img = jittered_model
     folded = fold_serving_variables(variables, dtype=jnp.float32)
-    ref = _flat_outputs(model.apply(variables, img))
-    got = _flat_outputs(model.apply(folded, img))
+    fwd = jax.jit(model.apply)   # eager apply dispatches ~10x slower on CPU
+    ref = _flat_outputs(fwd(variables, img))
+    got = _flat_outputs(fwd(folded, img))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
@@ -99,13 +100,14 @@ def test_fold_bf16_no_worse_than_unfolded(jittered_model):
     own distance from the f32 reference (the fold changes only when
     rounding happens, not the math)."""
     model, variables, img = jittered_model
-    ref = np.asarray(_flat_outputs(model.apply(variables, img)))
+    ref = np.asarray(_flat_outputs(jax.jit(model.apply)(variables, img)))
 
     bf16_model = Yolo11(model.cfg, dtype=jnp.bfloat16)
+    fwd16 = jax.jit(bf16_model.apply)
     img16 = img.astype(jnp.bfloat16)
-    unfolded = np.asarray(_flat_outputs(bf16_model.apply(variables, img16)))
+    unfolded = np.asarray(_flat_outputs(fwd16(variables, img16)))
     folded_vars = fold_serving_variables(variables, dtype=jnp.bfloat16)
-    folded = np.asarray(_flat_outputs(bf16_model.apply(folded_vars, img16)))
+    folded = np.asarray(_flat_outputs(fwd16(folded_vars, img16)))
 
     err_unfolded = np.abs(unfolded - ref).mean()
     err_folded = np.abs(folded - ref).mean()

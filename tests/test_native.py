@@ -115,3 +115,41 @@ def test_python_fallback_parity(dataset, frame100, monkeypatch):
     pre = native.ScanPrefetcher([dataset.scan_path(100)], 131072)
     items = list(pre)
     assert len(items) == 1 and items[0][0] == 0
+
+
+def test_compaction_simd_scalar_agree(dataset):
+    """The AVX-512 compaction must keep exactly the scalar path's points.
+
+    The dispatch is latched per process, so the scalar run happens in a
+    subprocess with LIDAR_LOADER_NO_AVX512=1.  On hosts without AVX-512
+    both runs take the scalar path and the test degenerates to a no-op
+    sanity check (still worth running: it covers the env-var override).
+    """
+    if not native.native_available():
+        pytest.skip("no native lib")
+    import subprocess
+    import sys
+
+    path = dataset.scan_path(100)
+    spec = _spec(dataset)
+    pts, valid, n = native.load_scan_compacted(path, spec)
+
+    code = (
+        "import numpy as np\n"
+        "from lidar_object_detection_tpu.data import native\n"
+        "from lidar_object_detection_tpu.data import Kitti360Dataset\n"
+        f"ds = Kitti360Dataset({dataset.root!a})\n"
+        "spec = native.CompactionSpec.build(\n"
+        "    ds.transforms.velo_to_rect, ds.camera.intrinsics,\n"
+        "    ds.camera.width, ds.camera.height, 0.0, 50.0, 32768)\n"
+        f"pts, valid, n = native.load_scan_compacted({path!a}, spec)\n"
+        "print(n, float(np.abs(pts[:n]).sum()))\n")
+    env = dict(os.environ, LIDAR_LOADER_NO_AVX512="1",
+               PYTHONPATH="/root/repo")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr
+    n_scalar, checksum = out.stdout.split()
+    assert int(n_scalar) == n
+    assert float(checksum) == pytest.approx(float(np.abs(pts[:n]).sum()),
+                                            rel=0, abs=0)

@@ -136,12 +136,12 @@ def test_trainer_step_runs_and_descends(det_trainer):
     step0 = int(trainer.state.step)
     m0 = trainer.train_step(images, targets)
     losses = [float(m0["loss"])]
-    for _ in range(4):
+    for _ in range(2):
         m = trainer.train_step(images, targets)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
-    assert int(trainer.state.step) == step0 + 5
+    assert int(trainer.state.step) == step0 + 3
 
 
 def test_trainer_loss_parts(mesh8):
@@ -197,7 +197,7 @@ def test_trainer_tal_loss_descends(det_trainer, rng):
     images = rng.random((4, 64, 64, 3), np.float32)
     targets = _det_targets()
     losses = [float(trainer.train_step(images, targets)["loss"])
-              for _ in range(6)]
+              for _ in range(3)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
 
@@ -224,8 +224,8 @@ def test_seg_mask_loss_trains(mesh8, rng):
     m0 = trainer.train_step(images, targets)
     assert "seg" in m0 and np.isfinite(float(m0["seg"]))
     losses = [float(m0["loss"])]
-    for _ in range(5):
+    for _ in range(2):
         losses.append(float(trainer.train_step(images, targets)["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
-    assert int(trainer.state.step) == 6
+    assert int(trainer.state.step) == 3

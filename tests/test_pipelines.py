@@ -267,8 +267,8 @@ def test_convert_weights_cli_roundtrip(tmp_path):
 
     cfg = YoloConfig(scale="n")
     model = Yolo11(cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3), jnp.float32))
     sd = _synthesize_torch_state_dict(variables)
     sd_path = str(tmp_path / "sd.pt")
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},

@@ -18,6 +18,16 @@ TINY = PillarsConfig(grid=TINY_GRID, embed_dim=16,
                      backbone_channels=(16, 32, 64),
                      backbone_layers=(1, 1, 1), up_channels=16)
 
+_ASSIGN_JITS = {}
+
+
+def assign_jit(gt, gt_valid, cfg):
+    """Jitted assign_anchors (eager rotated-IoU over the full anchor grid
+    runs ~35 s on this 1-core box; jitted + compile-cached it is ~1 s)."""
+    if cfg not in _ASSIGN_JITS:
+        _ASSIGN_JITS[cfg] = jax.jit(lambda g, v: assign_anchors(g, v, cfg))
+    return _ASSIGN_JITS[cfg](gt, gt_valid)
+
 
 def test_grid_dims():
     assert (TINY_GRID.nx, TINY_GRID.ny) == (64, 64)
@@ -110,7 +120,7 @@ def test_assignment_finds_gt(rng):
     gt[0] = anchors[100]            # exact anchor match
     gt[1] = anchors[500]
     gt_valid = np.array([True, True, False, False])
-    out = assign_anchors(jnp.asarray(gt), jnp.asarray(gt_valid), cfg)
+    out = assign_jit(jnp.asarray(gt), jnp.asarray(gt_valid), cfg)
     pos = np.asarray(out["pos"])
     matched = np.asarray(out["matched"])
     assert pos[100] and matched[100] == 0
@@ -144,7 +154,7 @@ def test_forward_shapes_and_loss_descends(rng):
     assert out["dir"].shape == (2, h, w, 2, 2)
 
     losses = [float(trainer.train_step(pts, valid, gt, gt_cls, gt_valid)["loss"])
-              for _ in range(6)]
+              for _ in range(3)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
 
@@ -289,8 +299,8 @@ def test_assignment_rotated_vs_aabb_on_axis_aligned_gt(rng):
     anchors = np.asarray(anchor_grid(TINY)).reshape(-1, 7)
     gt = np.stack([anchors[100], anchors[501]]).astype(np.float32)
     gt_valid = np.ones(2, bool)
-    out_r = assign_anchors(jnp.asarray(gt), jnp.asarray(gt_valid), cfg_rot)
-    out_a = assign_anchors(jnp.asarray(gt), jnp.asarray(gt_valid), cfg_aabb)
+    out_r = assign_jit(jnp.asarray(gt), jnp.asarray(gt_valid), cfg_rot)
+    out_a = assign_jit(jnp.asarray(gt), jnp.asarray(gt_valid), cfg_aabb)
     np.testing.assert_array_equal(np.asarray(out_r["pos"]),
                                   np.asarray(out_a["pos"]))
     np.testing.assert_array_equal(np.asarray(out_r["matched"]),
@@ -306,12 +316,12 @@ def test_assignment_rotated_distinguishes_yaw(rng):
     anchors = np.asarray(anchor_grid(TINY)).reshape(-1, 7)
     gt = anchors[100:101].copy()
     gt[0, 6] = np.pi / 4
-    out = assign_anchors(jnp.asarray(gt), jnp.asarray(np.ones(1, bool)), TINY)
+    out = assign_jit(jnp.asarray(gt), jnp.asarray(np.ones(1, bool)), TINY)
     # exact IoU of (w=1.6, l=3.9) rect vs itself rotated 45deg is ~0.39 --
     # below the 0.6 positive threshold, so only the force-match survives
     pos = np.asarray(out["pos"])
     assert pos.sum() == 1
-    out_aabb = assign_anchors(jnp.asarray(gt), jnp.asarray(np.ones(1, bool)),
+    out_aabb = assign_jit(jnp.asarray(gt), jnp.asarray(np.ones(1, bool)),
                               dc.replace(TINY, assign_iou="aabb"))
     # (the AABB path may or may not cross 0.6 here; the point is the exact
     # path is used by default and is well-behaved)

@@ -1,11 +1,16 @@
 """Exact rotated BEV IoU vs a NumPy Sutherland-Hodgman oracle."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from lidar_object_detection_tpu.ops.rotated_iou import (
     box7_to_bev_corners, rotated_iou_matrix)
+
+# eager polygon clipping dispatches op-by-op (~15 s/test on 1 CPU core);
+# the jitted wrapper compiles once per input shape and is compile-cached
+riou = jax.jit(rotated_iou_matrix)
 
 
 def np_corners(b):
@@ -72,8 +77,8 @@ def test_analytic_cases():
          / (8 - 8 * (np.sqrt(2) - 1))),
     ]
     for b, want in cases:
-        got = float(rotated_iou_matrix(jnp.asarray(a[None]),
-                                       jnp.asarray(b[None]))[0, 0])
+        got = float(riou(jnp.asarray(a[None]),
+                         jnp.asarray(b[None]))[0, 0])
         assert got == pytest.approx(want, abs=1e-4), (b, got, want)
 
 
@@ -84,8 +89,7 @@ def test_matches_numpy_oracle(rng):
     boxes_b = np.stack([box(rng.uniform(-10, 10), rng.uniform(-10, 10),
                             rng.uniform(1, 3), rng.uniform(2, 6),
                             rng.uniform(-np.pi, np.pi)) for _ in range(9)])
-    got = np.asarray(rotated_iou_matrix(jnp.asarray(boxes_a),
-                                        jnp.asarray(boxes_b)))
+    got = np.asarray(riou(jnp.asarray(boxes_a), jnp.asarray(boxes_b)))
     for i in range(12):
         for j in range(9):
             want = np_riou(boxes_a[i], boxes_b[j])
@@ -133,13 +137,15 @@ def test_rotated_nms_in_decode():
     # inter = 1.6^2 = 2.56, union = 2*6.24 - 2.56 -> rotated IoU ~0.258
     outputs["cls"][10, 12, 0, 0] = 4.0
     outputs["cls"][10, 12, 1, 0] = 3.0
-    det = decode_predictions(
-        {k: jnp.asarray(v) for k, v in outputs.items()}, cfg,
-        score_threshold=0.3, iou_threshold=0.2, rotated_nms=True)
+    def decode(thr):
+        return jax.jit(lambda o: decode_predictions(
+            o, cfg, score_threshold=0.3, iou_threshold=thr,
+            rotated_nms=True))({k: jnp.asarray(v)
+                                for k, v in outputs.items()})
+
+    det = decode(0.2)
     assert int(np.asarray(det["valid"]).sum()) == 1   # second one suppressed
-    det2 = decode_predictions(
-        {k: jnp.asarray(v) for k, v in outputs.items()}, cfg,
-        score_threshold=0.3, iou_threshold=0.3, rotated_nms=True)
+    det2 = decode(0.3)
     assert int(np.asarray(det2["valid"]).sum()) == 2  # 0.258 < 0.3 survives
 
 
@@ -153,7 +159,7 @@ def test_numpy_twin_matches_jitted(rng):
         np.float32)
     for arr in (a, b):
         arr[:, 3:6] = np.abs(arr[:, 3:6]) + 0.5     # positive sizes
-    jitted = np.asarray(rotated_iou_matrix(jnp.asarray(a), jnp.asarray(b)))
+    jitted = np.asarray(riou(jnp.asarray(a), jnp.asarray(b)))
     twin = rotated_iou_matrix_np(a, b)
     np.testing.assert_allclose(twin, jitted, atol=2e-5)
     # empty operands
