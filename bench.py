@@ -108,6 +108,9 @@ def main():
         YoloConfig(scale=scale), variables=variables,
         max_detections=cfg.shapes.max_detections,
         fast_masks=os.environ.get("BENCH_FAST_MASKS", "1") == "1",
+        # fused Pallas mask assembly (ops/pallas_masks.py): opt-in until
+        # validated on a real chip; then flip the default
+        mask_assembly=os.environ.get("BENCH_MASK_ASSEMBLY", "xla"),
         # serving weight prep: BN folded into conv kernels, tree stored
         # bf16 -- removes the per-step f32->bf16 weight stream that
         # profiling showed at ~72% of device time (weights.py)
@@ -167,6 +170,7 @@ def main():
                 YoloConfig(scale=scale), variables=variables,
                 max_detections=cfg.shapes.max_detections,
                 fast_masks=False,
+                mask_assembly=os.environ.get("BENCH_MASK_ASSEMBLY", "xla"),
                 fold_weights=os.environ.get("BENCH_FOLD_WEIGHTS", "1") == "1",
                 dtype=jnp.bfloat16)
 

@@ -117,6 +117,12 @@ class PostprocessParams:
     max_candidates: int = 256
     max_detections: int = 32
     retina_masks: bool = True
+    # mask assembly backend: "auto" uses the fused Pallas kernel on TPU
+    # (ops/pallas_masks.py -- no (D, H, W) float stack in HBM, exact f32)
+    # and the XLA resize elsewhere; "xla" / "pallas" force a backend.
+    # Default stays "xla" until the kernel's Mosaic lowering is validated
+    # on a real chip (interpret-mode parity is green; see ops/pallas_masks).
+    mask_assembly: str = "xla"
     # bf16 mask upsampling halves the HBM traffic of the (D, H, W) resize;
     # pixels whose bilinear value sits within bf16 epsilon of the 0.5
     # threshold may flip vs the f32 path -- opt-in for serving throughput.
@@ -182,14 +188,14 @@ def postprocess_single(outputs, params: PostprocessParams):
         det_coef = coef_flat[top_idx][keep_idx]                # (D, nm)
         out["mask_bits"] = _assemble_masks(
             outputs["proto"], det_coef, det_boxes, keep_valid, spec,
-            fast=p.fast_masks)
+            fast=p.fast_masks, impl=p.mask_assembly)
     else:
         out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
     return out
 
 
 def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
-                    fast: bool = False):
+                    fast: bool = False, impl: str = "xla"):
     """``process_mask_native``: sigmoid(coef @ protos), strip letterbox
     padding at proto resolution, bilinear-resize to the original image,
     crop to each box, threshold 0.5 -- emitted as packed uint32 bits."""
@@ -208,6 +214,19 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     bottom = mh - int(round(pad_h + 0.1))
     right = mw - int(round(pad_w + 0.1))
     masks = masks[:, top:bottom, left:right]
+
+    from lidar_object_detection_tpu.ops import pallas_masks
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+        and pallas_masks.supported(d, spec.src_h, spec.src_w))
+    if use_pallas:
+        # fused upsample+threshold+crop+pack: no (D, H, W) float stack in
+        # HBM and exact f32 regardless of `fast` (the bf16 shortcut exists
+        # only to shrink the XLA path's stack)
+        return pallas_masks.pallas_assemble_masks(
+            masks, boxes, det_valid, spec.src_h, spec.src_w,
+            interpret=jax.default_backend() != "tpu")
+
     if fast:
         masks = masks.astype(jnp.bfloat16)
     masks = jax.image.resize(masks, (d, spec.src_h, spec.src_w),

@@ -1,0 +1,92 @@
+"""Fused Pallas mask-assembly kernel parity (interpret mode on CPU).
+
+The kernel must reproduce the XLA ``_assemble_masks`` packed-bit output
+exactly: it uses the same resize tap placement and weights (extracted from
+``jax.image.resize`` itself) and the same product/add association, so even
+the float rounding at the 0.5 threshold matches.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_object_detection_tpu.models.yolo.postprocess import (
+    LetterboxSpec, _assemble_masks)
+from lidar_object_detection_tpu.ops.pallas_masks import (
+    pallas_assemble_masks, resize_taps, supported)
+
+H, W = 376, 1408      # KITTI-360 camera size (376 % 8 == 0, 1408 % 128 == 0)
+
+
+def _spec():
+    return LetterboxSpec.build(H, W, 640)
+
+
+def _random_case(rng, d=32, nm=32):
+    spec = _spec()
+    mh, mw = spec.dst_h // 4, spec.dst_w // 4
+    protos = rng.normal(0, 1.0, (mh, mw, nm)).astype(np.float32)
+    coef = rng.normal(0, 0.6, (d, nm)).astype(np.float32)
+    x1 = rng.uniform(0, W - 60, d)
+    y1 = rng.uniform(0, H - 40, d)
+    boxes = np.stack([x1, y1,
+                      x1 + rng.uniform(20, 500, d),
+                      y1 + rng.uniform(15, 200, d)], 1).astype(np.float32)
+    det_valid = rng.random(d) > 0.2
+    return spec, protos, coef, boxes, det_valid
+
+
+def test_resize_taps_reconstruct_resize(rng):
+    """Tap/weight extraction reproduces jax.image.resize within 1-2 ulp on
+    a random image (resize's internal dot fuses the second multiply-add
+    into one fma rounding; the 2-tap form rounds the product separately --
+    the packed-bit tests below check the 0.5 threshold never flips)."""
+    img = jnp.asarray(rng.normal(0, 1, (13, 47)).astype(np.float32))
+    ref = jax.image.resize(img, (96, 47), method="bilinear")
+    y0, w0, w1, _ = resize_taps(13, 96)
+    y1_ = jnp.minimum(y0 + 1, 12)
+    got = w0[:, None] * img[y0] + w1[:, None] * img[y1_]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-7)
+
+
+def test_kernel_matches_xla_assembly(rng):
+    spec, protos, coef, boxes, det_valid = _random_case(rng)
+    ref = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="xla"))
+    got = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="pallas"))
+    assert ref.any(), "degenerate case: no bits set"
+    mismatch = int((ref != got).sum())
+    assert mismatch == 0, f"{mismatch}/{ref.size} packed words differ"
+
+
+def test_kernel_fewer_detections_and_all_invalid(rng):
+    spec, protos, coef, boxes, det_valid = _random_case(rng, d=7)
+    ref = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="xla"))
+    got = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="pallas"))
+    np.testing.assert_array_equal(got, ref)
+
+    none = np.zeros(7, bool)
+    out = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(none), spec, impl="pallas"))
+    assert not out.any()
+
+
+def test_supported_guard():
+    assert supported(32, H, W)
+    assert not supported(33, H, W)
+    assert not supported(32, H + 1, W)
+    assert not supported(32, H, W + 1)
+    mh, mw = _spec().dst_h // 4, _spec().dst_w // 4
+    with pytest.raises(ValueError):
+        pallas_assemble_masks(jnp.zeros((32, mh, mw)), jnp.zeros((32, 4)),
+                              jnp.ones(32, bool), H + 1, W)
