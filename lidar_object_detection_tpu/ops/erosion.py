@@ -53,24 +53,20 @@ def ellipse_kernel_offsets(ksize: int):
 
 
 def _shift_all_ones_border(bits, dy: int, dx: int):
-    """Shift a (H, W) uint32 image by (-dy, -dx), filling revealed borders
-    with all-ones (so out-of-bounds neighbours never erode)."""
+    """``out[y, x] = bits[y + dy, x + dx]`` with out-of-bounds neighbours
+    all-ones (so the border never erodes).
+
+    Implemented as pad + static slice (pure layout ops XLA fuses into the
+    consuming AND chain) instead of roll + scatter-update, so the whole
+    multi-tap erosion compiles to one elementwise pass over the packed
+    image rather than materializing each shifted copy."""
+    import jax.lax as lax
+
     h, w = bits.shape
-    ones = jnp.full_like(bits, jnp.uint32(0xFFFFFFFF))
-    out = bits
-    if dy != 0:
-        out = jnp.roll(out, -dy, axis=0)
-        if dy > 0:
-            out = out.at[h - dy:, :].set(ones[:dy, :])
-        else:
-            out = out.at[: -dy, :].set(ones[:(-dy), :])
-    if dx != 0:
-        out = jnp.roll(out, -dx, axis=1)
-        if dx > 0:
-            out = out.at[:, w - dx:].set(ones[:, :dx])
-        else:
-            out = out.at[:, : -dx].set(ones[:, :(-dx)])
-    return out
+    py, px = abs(dy), abs(dx)
+    padded = jnp.pad(bits, ((py, py), (px, px)),
+                     constant_values=np.uint32(0xFFFFFFFF))
+    return lax.slice(padded, (py + dy, px + dx), (py + dy + h, px + dx + w))
 
 
 def erode_packed(mask_bits, kernel_size: int = 3, iterations: int = 1):
