@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Supervision-ceiling diagnostic: run the fusion pipeline behind the
+distilled TARGETS themselves (a mask oracle, no network).
+
+The learned-detector artifact set scores 69.52 % mean inside (x scale) vs
+the reference's 74.48 % from upstream COCO weights.  Two explanations
+compete: (a) the network under-fits its supervision, (b) the distilled
+silhouette targets themselves cap below the reference.  Serving the
+targets directly through the same erosion-study pipeline separates them:
+the oracle's aggregates ARE the ceiling of the current label recipe --
+anything the trained net loses below that is fitting error, anything the
+oracle loses below 74.48 is label quality (CPU-improvable).
+
+Usage:
+  python examples/eval_distill_targets.py [--cache /tmp/yolo_labels2.npz]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
+
+
+class TargetOracleDetector:
+    """Serves the distilled labels as detections (pipeline's stub-detector
+    interface: ``detect_records``)."""
+
+    def __init__(self, labels, max_detections: int = 32):
+        self.by_frame = {int(f): i for i, f in enumerate(labels["frame_ids"])}
+        self.labels = labels
+        self.max_detections = max_detections
+
+    def detect_records(self, records):
+        lab = self.labels
+        b = len(records)
+        d = self.max_detections
+        h, w = lab["masks_img"].shape[2:]
+        boxes = np.zeros((b, d, 4), np.float32)
+        scores = np.zeros((b, d), np.float32)
+        det_valid = np.zeros((b, d), bool)
+        mask_bits = np.zeros((b, h, w), np.uint32)
+        for i, rec in enumerate(records):
+            li = self.by_frame[int(rec.frame_id)]
+            t = min(d, lab["valid"].shape[1])
+            valid = lab["valid"][li, :t]
+            boxes[i, :t] = lab["boxes"][li, :t]
+            det_valid[i, :t] = valid
+            scores[i, :t] = np.where(valid, 1.0, 0.0)
+            m = lab["masks_img"][li, :t].astype(np.uint32)      # (T, H, W)
+            weights = (np.uint32(1) << np.arange(t, dtype=np.uint32))
+            live = np.where(valid, weights, np.uint32(0))
+            mask_bits[i] = (m * live[:, None, None]).sum(0, dtype=np.uint32)
+        return {"boxes": boxes, "scores": scores, "det_valid": det_valid,
+                "mask_bits": mask_bits}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default=KITTI)
+    ap.add_argument("--cache", default="/tmp/yolo_labels2.npz")
+    args = ap.parse_args()
+
+    from lidar_object_detection_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
+    from examples.train_yolo_distill import build_labels
+    labels = build_labels(args.dataset, cache=args.cache)
+
+    # the pipeline dispatches detect_records for StubDetector instances,
+    # so the oracle masquerades as one (detect_records fully overridden)
+    from lidar_object_detection_tpu.models.stub import StubDetector
+
+    class _OracleStub(StubDetector):
+        def __init__(self, inner):        # no super(): only dispatch counts
+            self._inner = inner
+
+        def detect_records(self, records):
+            return self._inner.detect_records(records)
+
+    from lidar_object_detection_tpu.eval.erosion_study import \
+        run_erosion_study
+    res = run_erosion_study(args.dataset,
+                            detector=_OracleStub(TargetOracleDetector(labels)))
+    s = res.summary()
+    print("target-oracle aggregates:", s)
+    print(f"  mean inside (eroded): {s['mean_inside_pct_eroded']:.2f} %   "
+          "(reference upstream weights: 74.48; learned x ckpt: 69.52)")
+    print(f"  erosion improvement:  {s['mean_pct_improvement']:.2f} %   "
+          "(reference: +7.67; learned x: +5.83)")
+    print(f"  std of diff:          {s['std_inside_pct_diff']:.2f}     "
+          "(reference: 5.87; learned x: 3.48)")
+
+
+if __name__ == "__main__":
+    main()
