@@ -238,7 +238,7 @@ SCALE_USED = ["n"]
 
 def train(labels, steps: int, lr: float, ckpt: str, scale: str = "n",
           resume: bool = False, log_every: int = 25, save_every: int = 250,
-          seed: int = 0):
+          seed: int = 0, seg_weight: float = 1.0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -257,7 +257,8 @@ def train(labels, steps: int, lr: float, ckpt: str, scale: str = "n",
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, max(steps // 10, 1)), max(steps, 2), lr * 1e-2)
     trainer = YoloTrainer(cfg, mesh, image_size=(192, 640),
-                          learning_rate=schedule, seed=seed)
+                          learning_rate=schedule, seed=seed,
+                          seg_weight=seg_weight)
 
     if resume and os.path.exists(ckpt):
         from flax import serialization
@@ -379,6 +380,11 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seg-weight", type=float, default=1.0,
+                    help="instance-mask loss weight (the target-oracle "
+                         "diagnostic shows the supervision supports 81%% "
+                         "inside; mask fidelity, not labels, is the gap -- "
+                         "try 2-4 with a longer schedule)")
     args = ap.parse_args()
 
     labels = build_labels(args.dataset, cache=args.cache)
@@ -389,6 +395,7 @@ def main():
         return
     SCALE_USED[0] = args.scale
     train(labels, args.steps, args.lr, args.ckpt, scale=args.scale,
+          seg_weight=args.seg_weight,
           resume=args.resume, seed=args.seed)
     evaluate(labels, args.ckpt, scale=args.scale, conf=args.conf)
 

@@ -121,7 +121,8 @@ def task_aligned_assign(cls_logits, pred_boxes, targets, level_shapes,
 def detection_loss(outputs, targets, num_classes: int,
                    level_shapes: Tuple[Tuple[int, int], ...],
                    cls_weight: float = 0.5, box_weight: float = 7.5,
-                   dfl_weight: float = 1.5, assigner: str = "tal"):
+                   dfl_weight: float = 1.5, assigner: str = "tal",
+                   seg_weight: float = 1.0):
     """Compute the loss for one batch.
 
     Args:
@@ -154,7 +155,7 @@ def detection_loss(outputs, targets, num_classes: int,
             seg = (outputs["proto"], coef_flat, targets["masks"])
         return _tal_loss(box_flat, cls_flat, targets, num_classes,
                          level_shapes, cls_weight, box_weight, dfl_weight,
-                         seg=seg)
+                         seg=seg, seg_weight=seg_weight)
 
     tb = targets["boxes"].astype(jnp.float32)
     center = (tb[..., :2] + tb[..., 2:]) / 2
@@ -386,6 +387,7 @@ class YoloTrainer:
                  image_size: Tuple[int, int] = (192, 640),
                  max_targets: int = 32,
                  learning_rate: float = 1e-3, weight_decay: float = 5e-4,
+                 seg_weight: float = 1.0,
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.mesh = mesh
@@ -411,7 +413,8 @@ class YoloTrainer:
         self._step = jax.jit(
             functools.partial(_train_step, model=self.model, tx=self.tx,
                               num_classes=cfg.num_classes,
-                              level_shapes=self.level_shapes))
+                              level_shapes=self.level_shapes,
+                              seg_weight=seg_weight))
 
     def train_step(self, images, targets) -> Dict[str, Any]:
         """One optimizer step.  images (B, H, W, 3) in [0,1]; targets dict
@@ -427,7 +430,8 @@ class YoloTrainer:
 
 
 def _train_step(state: TrainState, images, targets, *, model: Yolo11,
-                tx, num_classes: int, level_shapes):
+                tx, num_classes: int, level_shapes,
+                seg_weight: float = 1.0):
     variables = state.variables
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
@@ -435,7 +439,8 @@ def _train_step(state: TrainState, images, targets, *, model: Yolo11,
     def loss_fn(p):
         out, updates = model.apply({"params": p, **rest}, images, train=True,
                                    mutable=["batch_stats"])
-        loss, parts = detection_loss(out, targets, num_classes, level_shapes)
+        loss, parts = detection_loss(out, targets, num_classes, level_shapes,
+                                     seg_weight=seg_weight)
         return loss, (parts, updates)
 
     (loss, (parts, updates)), grads = jax.value_and_grad(

@@ -229,3 +229,32 @@ def test_seg_mask_loss_trains(mesh8, rng):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
     assert int(trainer.state.step) == 3
+
+
+def test_seg_weight_scales_loss(rng):
+    from lidar_object_detection_tpu.parallel import detection_loss
+
+    lvl = [(8, 8), (4, 4), (2, 2)]
+    n = 64 + 16 + 4
+    outputs = {
+        "box": [jnp.asarray(rng.normal(size=(2, h, w, 64)), jnp.float32)
+                for h, w in lvl],
+        "cls": [jnp.asarray(rng.normal(size=(2, h, w, 8)), jnp.float32)
+                for h, w in lvl],
+        "coef": [jnp.asarray(rng.normal(size=(2, h, w, 32)), jnp.float32)
+                 for h, w in lvl],
+        "proto": jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32),
+    }
+    masks = np.zeros((2, 1, 16, 16), np.float32)
+    masks[:, 0, 3:10, 3:10] = 1.0
+    targets = {
+        "boxes": jnp.asarray(np.tile([[10.0, 10, 40, 40]], (2, 1, 1))),
+        "classes": jnp.full((2, 1), 3, jnp.int32),
+        "valid": jnp.ones((2, 1), bool),
+        "masks": jnp.asarray(masks),
+    }
+    t1, p1 = detection_loss(outputs, targets, 8, tuple(lvl), seg_weight=1.0)
+    t3, p3 = detection_loss(outputs, targets, 8, tuple(lvl), seg_weight=3.0)
+    assert float(p1["seg"]) == pytest.approx(float(p3["seg"]), rel=1e-6)
+    # f32 cancellation in t3 - t1 leaves ~1e-5 relative noise
+    assert float(t3 - t1) == pytest.approx(2.0 * float(p1["seg"]), rel=1e-3)
