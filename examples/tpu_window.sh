@@ -1,0 +1,52 @@
+#!/bin/bash
+# TPU-window runbook (round 3): what to run, in priority order, the moment
+# the chip is reachable again.  Each stage logs to /tmp/tpu_window/ and is
+# independently resumable; later stages are skipped if the window closes.
+#
+#   bash examples/tpu_window.sh            # stages 1-3 (validation + bench)
+#   bash examples/tpu_window.sh retrain    # + stage 4 (x-scale retrain)
+#
+# PYTHONPATH must keep /root/.axon_site (axon backend registration).
+
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/tpu_window
+mkdir -p "$LOG"
+
+echo "=== stage 1: Pallas mask kernel validation (compile/parity/speed) ==="
+timeout 1800 python examples/validate_pallas_masks_tpu.py \
+    2>&1 | tee "$LOG/1_pallas_masks.log"
+PALLAS_OK=${PIPESTATUS[0]}
+echo "stage 1 rc=$PALLAS_OK"
+
+MASKS=xla
+if [ "$PALLAS_OK" = 0 ]; then
+  MASKS=pallas
+  echo "(flip PostprocessParams.mask_assembly default to auto + commit"
+  echo " after eyeballing $LOG/1_pallas_masks.log)"
+fi
+
+echo "=== stage 2: full bench (headline + extras), mask_assembly=$MASKS ==="
+BENCH_MASK_ASSEMBLY=$MASKS timeout 3600 python bench.py \
+    2>&1 | tee "$LOG/2_bench_b38.log"
+
+echo "=== stage 3: batch-76 probe (fusion HBM regime) ==="
+BENCH_MASK_ASSEMBLY=$MASKS BENCH_REPLICAS=4 BENCH_EXTRA=0 \
+    timeout 2400 python bench.py 2>&1 | tee "$LOG/3_bench_b76.log"
+BENCH_MASK_ASSEMBLY=xla BENCH_REPLICAS=4 BENCH_EXTRA=0 \
+    timeout 2400 python bench.py 2>&1 | tee "$LOG/3_bench_b76_xla.log"
+
+if [ "${1:-}" = retrain ]; then
+  echo "=== stage 4: x-scale distill retrain, seg-weight 3, 20k steps ==="
+  timeout 28800 python examples/train_yolo_distill.py \
+      --steps 20000 --scale x --seg-weight 3.0 --lr 2e-3 \
+      --ckpt /tmp/yolo_x_segw3.msgpack --cache /tmp/yolo_labels2.npz \
+      --resume 2>&1 | tee "$LOG/4_retrain.log"
+  echo "=== stage 4b: regen artifacts behind the new checkpoint ==="
+  timeout 3600 python examples/regen_artifacts.py \
+      --ckpt /tmp/yolo_x_segw3.msgpack --out /tmp/artifacts_x_segw3 \
+      2>&1 | tee "$LOG/4b_regen.log"
+  echo "(if aggregates beat 69.52: export via examples/export_yolo_ckpt.py,"
+  echo " commit checkpoint + artifacts, update PERFORMANCE/BASELINE)"
+fi
+echo "=== runbook done; logs in $LOG ==="
