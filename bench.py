@@ -169,8 +169,9 @@ def main():
                 (cfg.shapes.image_height, cfg.shapes.image_width),
                 YoloConfig(scale=scale), variables=variables,
                 max_detections=cfg.shapes.max_detections,
-                fast_masks=False,
-                mask_assembly=os.environ.get("BENCH_MASK_ASSEMBLY", "xla"),
+                # the exact-parity reference is the f32 XLA assembly by
+                # definition -- never inherit BENCH_MASK_ASSEMBLY here
+                fast_masks=False, mask_assembly="xla",
                 fold_weights=os.environ.get("BENCH_FOLD_WEIGHTS", "1") == "1",
                 dtype=jnp.bfloat16)
 

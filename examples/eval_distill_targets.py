@@ -45,7 +45,12 @@ class TargetOracleDetector:
         det_valid = np.zeros((b, d), bool)
         mask_bits = np.zeros((b, h, w), np.uint32)
         for i, rec in enumerate(records):
-            li = self.by_frame[int(rec.frame_id)]
+            li = self.by_frame.get(int(rec.frame_id))
+            if li is None:
+                raise KeyError(
+                    f"frame {rec.frame_id} not in the labels cache -- the "
+                    "cache was built from a different dataset/frame set; "
+                    "delete it and rerun")
             t = min(d, lab["valid"].shape[1])
             valid = lab["valid"][li, :t]
             boxes[i, :t] = lab["boxes"][li, :t]

@@ -106,8 +106,16 @@ def build_labels(root: str, min_points: int = 30, depth_max: float = 50.0,
       frame_ids (B,)
     """
     if cache and os.path.exists(cache):
-        print(f"[labels] cached <- {cache}")
-        return dict(np.load(cache))
+        cached = dict(np.load(cache))
+        # staleness guard: a cache from another recipe or frame set would
+        # silently skew everything downstream (incl. the target-oracle
+        # supervision-ceiling number) -- rebuild unless it matches
+        want = np.asarray([min_points, depth_max], np.float64)
+        if "recipe" in cached and np.array_equal(cached["recipe"], want):
+            print(f"[labels] cached <- {cache}")
+            return cached
+        print(f"[labels] cache {cache} has no/other recipe marker; "
+              "rebuilding")
 
     from lidar_object_detection_tpu.data import Kitti360Dataset
     from lidar_object_detection_tpu.models.yolo.postprocess import \
@@ -133,6 +141,7 @@ def build_labels(root: str, min_points: int = 30, depth_max: float = 50.0,
         "masks_img": np.zeros((b, MAX_T, IMG_H, IMG_W), np.uint8),
         "masks_pr": np.zeros((b, MAX_T, ph, pw), np.float32),
         "frame_ids": np.asarray([r.frame_id for r in records], np.int32),
+        "recipe": np.asarray([min_points, depth_max], np.float64),
     }
 
     for i, rec in enumerate(records):

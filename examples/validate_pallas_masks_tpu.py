@@ -39,6 +39,12 @@ def main():
         LetterboxSpec, _assemble_masks)
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    if jax.default_backend() == "cpu":
+        # off-TPU, _assemble_masks flips to interpret mode -- the Mosaic
+        # lowering (the whole point of this gate) would never run
+        print("FAIL: not on a TPU backend; this gate validates Mosaic "
+              "lowering and must run on the chip")
+        return 2
     H, W = 376, 1408
     spec = LetterboxSpec.build(H, W, 640)
     mh, mw = spec.dst_h // 4, spec.dst_w // 4

@@ -215,10 +215,12 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     right = mw - int(round(pad_w + 0.1))
     masks = masks[:, top:bottom, left:right]
 
-    from lidar_object_detection_tpu.ops import pallas_masks
-    use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu"
-        and pallas_masks.supported(d, spec.src_h, spec.src_w))
+    use_pallas = False
+    if impl != "xla":    # keep the default path free of pallas imports
+        from lidar_object_detection_tpu.ops import pallas_masks
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu"
+            and pallas_masks.supported(d, spec.src_h, spec.src_w))
     if use_pallas:
         # fused upsample+threshold+crop+pack: no (D, H, W) float stack in
         # HBM and exact f32 regardless of `fast` (the bf16 shortcut exists
