@@ -24,6 +24,27 @@ TINY = PillarsConfig(grid=TINY_GRID, embed_dim=16,
 G = 8
 
 
+_RENDER_JIT = {}
+_DECODE_JIT = {}
+
+
+def render_jit(gt, cls, valid, cfg):
+    """Jitted render_center_targets (eager scatter rendering is the slow
+    path on the 1-core CPU suite; compile-cached)."""
+    if cfg not in _RENDER_JIT:
+        _RENDER_JIT[cfg] = jax.jit(
+            lambda g, c, v: render_center_targets(g, c, v, cfg))
+    return _RENDER_JIT[cfg](gt, cls, valid)
+
+
+def decode_jit(out, cfg, score_threshold):
+    key = (cfg, score_threshold)
+    if key not in _DECODE_JIT:
+        _DECODE_JIT[key] = jax.jit(
+            lambda o: decode_center(o, cfg, score_threshold=score_threshold))
+    return _DECODE_JIT[key](out)
+
+
 def _gt(boxes):
     """Ragged list of (7,) boxes -> fixed (G, 7/cls/valid)."""
     gt = np.zeros((G, 7), np.float32)
@@ -42,7 +63,7 @@ BOX_B = [5.0, -5.0, -0.8, 1.6, 3.9, 1.5, -1.2]
 class TestRenderTargets:
     def test_peak_is_one_at_center_cell(self):
         gt, cls, valid = _gt([BOX_A])
-        t = render_center_targets(gt, cls, valid, TINY)
+        t = render_jit(gt, cls, valid, TINY)
         heat = np.asarray(t["heat"])
         cell = TINY.grid.pillar_size * TINY.out_stride
         ix = int((BOX_A[0] - TINY.grid.x_range[0]) / cell)
@@ -57,19 +78,19 @@ class TestRenderTargets:
 
     def test_outside_grid_is_masked(self):
         gt, cls, valid = _gt([[100.0, 0.0, -1.0, 1.6, 3.9, 1.5, 0.0]])
-        t = render_center_targets(gt, cls, valid, TINY)
+        t = render_jit(gt, cls, valid, TINY)
         assert not bool(t["mask"][0])
         assert float(jnp.max(t["heat"])) == 0.0
 
     def test_two_boxes_compose_by_max(self):
         gt, cls, valid = _gt([BOX_A, BOX_B])
-        t = render_center_targets(gt, cls, valid, TINY)
+        t = render_jit(gt, cls, valid, TINY)
         assert np.asarray(t["mask"]).sum() == 2
         assert float(jnp.sum(t["heat"] >= 1.0 - 1e-6)) == 2
 
     def test_reg_targets(self):
         gt, cls, valid = _gt([BOX_A])
-        t = render_center_targets(gt, cls, valid, TINY)
+        t = render_jit(gt, cls, valid, TINY)
         reg = np.asarray(t["reg"][0])
         assert 0.0 <= reg[0] < 1.0 and 0.0 <= reg[1] < 1.0
         assert reg[2] == pytest.approx(BOX_A[2])
@@ -99,7 +120,7 @@ def test_focal_loss_zero_for_perfect_prediction():
 
 class TestDecodeRoundTrip:
     def _perfect_outputs(self, gt, cls, valid):
-        t = render_center_targets(gt, cls, valid, TINY)
+        t = render_jit(gt, cls, valid, TINY)
         heat = t["heat"]
         logits = jnp.log(jnp.clip(heat, 1e-6, 1 - 1e-6) /
                          (1 - jnp.clip(heat, 1e-6, 1 - 1e-6)))
@@ -111,7 +132,7 @@ class TestDecodeRoundTrip:
     def test_recovers_gt_boxes(self):
         gt, cls, valid = _gt([BOX_A, BOX_B])
         out = self._perfect_outputs(gt, cls, valid)
-        det = decode_center(out, TINY, score_threshold=0.5)
+        det = decode_jit(out, TINY, 0.5)
         ok = np.asarray(det["valid"])
         assert ok.sum() == 2
         boxes = np.asarray(det["boxes7"])[ok]
@@ -133,7 +154,7 @@ class TestDecodeRoundTrip:
         h, w = TINY.grid.ny // 2, TINY.grid.nx // 2
         out = {"heat": jnp.full((h, w, 1), -20.0),
                "reg": jnp.zeros((h, w, 8))}
-        det = decode_center(out, TINY, score_threshold=0.1)
+        det = decode_jit(out, TINY, 0.1)
         assert np.asarray(det["valid"]).sum() == 0
 
 
