@@ -18,6 +18,11 @@ sys.path.insert(0, ROOT)
 
 
 def main():
+    # LIDAR_TPU_PLATFORM (not JAX_PLATFORMS -- the sitecustomize overrides
+    # that env var): bench.py probes the backend and runs each extra in
+    # SUBPROCESSES (round-4 hang-proofing), and each of those re-pins the
+    # platform from this variable via bench._select_platform()
+    os.environ["LIDAR_TPU_PLATFORM"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")   # before first backend use
@@ -34,8 +39,13 @@ def main():
     import bench
 
     buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        bench.main()
+    try:
+        with contextlib.redirect_stdout(buf):
+            bench.main()
+    except SystemExit as e:   # diagnostic path: show what bench printed
+        sys.stdout.write(buf.getvalue())
+        print(f"SMOKE FAIL: bench exited rc={e.code}")
+        return 1
     line = buf.getvalue().strip().splitlines()[-1]
     out = json.loads(line)
     print(json.dumps(out, indent=2))

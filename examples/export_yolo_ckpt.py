@@ -45,7 +45,9 @@ def main():
     with open(args.src, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     import jax
-    slim = {"variables": jax.tree.map(cast, raw["variables"]),
+    # serve the EMA weights when the training run kept them (--ema-decay)
+    variables = raw.get("ema_variables") or raw["variables"]
+    slim = {"variables": jax.tree.map(cast, variables),
             "step": raw["step"]}
     payload = serialization.msgpack_serialize(slim)
     tmp = args.dst + ".tmp"

@@ -37,9 +37,9 @@ BENCH_MASK_ASSEMBLY=xla BENCH_REPLICAS=4 BENCH_EXTRA=0 \
     timeout 2400 python bench.py 2>&1 | tee "$LOG/3_bench_b76_xla.log"
 
 if [ "${1:-}" = retrain ]; then
-  echo "=== stage 4: x-scale distill retrain, seg-weight 3, 20k steps ==="
+  echo "=== stage 4: x-scale distill retrain, seg-weight 3, EMA, 20k steps ==="
   timeout 28800 python examples/train_yolo_distill.py \
-      --steps 20000 --scale x --seg-weight 3.0 --lr 2e-3 \
+      --steps 20000 --scale x --seg-weight 3.0 --lr 2e-3 --ema-decay 0.999 \
       --ckpt /tmp/yolo_x_segw3.msgpack --cache /tmp/yolo_labels2.npz \
       --resume 2>&1 | tee "$LOG/4_retrain.log"
   echo "=== stage 4b: regen artifacts behind the new checkpoint ==="

@@ -219,12 +219,14 @@ def build_labels(root: str, min_points: int = 30, depth_max: float = 50.0,
 # Training
 # ---------------------------------------------------------------------------
 
-def save_ckpt(path, variables, opt_state, step):
+def save_ckpt(path, variables, opt_state, step, ema_variables=None):
     from flax import serialization
+    payload = {"variables": variables, "step": np.asarray(step)}
+    if ema_variables is not None:
+        payload["ema_variables"] = ema_variables
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(
-            serialization.to_state_dict(
-                {"variables": variables, "step": np.asarray(step)})))
+            serialization.to_state_dict(payload)))
     # opt state separately (resume-only; inference needs just variables)
     with open(path + ".opt", "wb") as f:
         f.write(serialization.msgpack_serialize(
@@ -235,11 +237,14 @@ def save_ckpt(path, variables, opt_state, step):
                    "step": int(step)}, f)
 
 
-def load_ckpt_variables(path):
+def load_ckpt_variables(path, prefer_ema: bool = False):
     from flax import serialization
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-    return raw["variables"], int(np.asarray(raw["step"]))
+    variables = raw["variables"]
+    if prefer_ema and raw.get("ema_variables"):
+        variables = raw["ema_variables"]
+    return variables, int(np.asarray(raw["step"]))
 
 
 SCALE_USED = ["n"]
@@ -247,7 +252,7 @@ SCALE_USED = ["n"]
 
 def train(labels, steps: int, lr: float, ckpt: str, scale: str = "n",
           resume: bool = False, log_every: int = 25, save_every: int = 250,
-          seed: int = 0, seg_weight: float = 1.0):
+          seed: int = 0, seg_weight: float = 1.0, ema_decay: float = 0.0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -267,14 +272,17 @@ def train(labels, steps: int, lr: float, ckpt: str, scale: str = "n",
         0.0, lr, min(100, max(steps // 10, 1)), max(steps, 2), lr * 1e-2)
     trainer = YoloTrainer(cfg, mesh, image_size=(192, 640),
                           learning_rate=schedule, seed=seed,
-                          seg_weight=seg_weight)
+                          seg_weight=seg_weight, ema_decay=ema_decay)
 
     if resume and os.path.exists(ckpt):
         from flax import serialization
         variables, step0 = load_ckpt_variables(ckpt)
         trainer.state = trainer.state.replace(
             variables=jax.device_put(variables),
-            step=jnp.asarray(step0, jnp.int32))
+            step=jnp.asarray(step0, jnp.int32),
+            ema_variables=(jax.device_put(variables)
+                           if trainer.state.ema_variables is not None
+                           else None))
         if os.path.exists(ckpt + ".opt"):
             with open(ckpt + ".opt", "rb") as f:
                 raw = serialization.msgpack_restore(f.read())
@@ -307,8 +315,10 @@ def train(labels, steps: int, lr: float, ckpt: str, scale: str = "n",
                   f"({dt:.2f}s/step)", flush=True)
         if (s + 1) % save_every == 0 or s + 1 == steps:
             variables = jax.device_get(trainer.state.variables)
+            ema = (jax.device_get(trainer.state.ema_variables)
+                   if trainer.state.ema_variables is not None else None)
             save_ckpt(ckpt, variables, jax.device_get(trainer.state.opt_state),
-                      s + 1)
+                      s + 1, ema_variables=ema)
             print(f"[train] ckpt -> {ckpt} @ {s + 1}", flush=True)
     return trainer
 
@@ -327,7 +337,7 @@ def evaluate(labels, ckpt: str, scale: str = "n", conf: float = 0.25):
         enable_compilation_cache
 
     enable_compilation_cache()
-    variables, step = load_ckpt_variables(ckpt)
+    variables, step = load_ckpt_variables(ckpt, prefer_ema=True)
     det = YoloDetector((IMG_H, IMG_W), YoloConfig(scale=scale),
                        variables=variables, conf=conf,
                        max_detections=MAX_T)
@@ -394,6 +404,10 @@ def main():
                          "diagnostic shows the supervision supports 81%% "
                          "inside; mask fidelity, not labels, is the gap -- "
                          "try 2-4 with a longer schedule)")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="EMA of weights updated in the jitted step "
+                         "(e.g. 0.999); serving prefers the EMA copy when "
+                         "present in the checkpoint")
     args = ap.parse_args()
 
     labels = build_labels(args.dataset, cache=args.cache)
@@ -404,7 +418,7 @@ def main():
         return
     SCALE_USED[0] = args.scale
     train(labels, args.steps, args.lr, args.ckpt, scale=args.scale,
-          seg_weight=args.seg_weight,
+          seg_weight=args.seg_weight, ema_decay=args.ema_decay,
           resume=args.resume, seed=args.seed)
     evaluate(labels, args.ckpt, scale=args.scale, conf=args.conf)
 

@@ -241,8 +241,17 @@ class Kitti360Dataset:
         """One image as (h, w, 3) uint8, through the raw cache when set."""
         s = self.shapes
         if self.image_cache_dir:
-            raw = os.path.join(self.image_cache_dir,
-                               os.path.basename(path) + ".raw")
+            # KITTI-360 basenames (0000000100.png) repeat across sequences
+            # and camera ids, and the cached blob is shaped by ShapeConfig:
+            # key on the full path + shape so a shared cache dir can never
+            # serve another sequence's pixels or a mis-shaped blob.
+            import hashlib
+            digest = hashlib.sha1(
+                os.path.abspath(path).encode()).hexdigest()[:16]
+            raw = os.path.join(
+                self.image_cache_dir,
+                f"{digest}_{s.image_height}x{s.image_width}_"
+                f"{os.path.basename(path)}.raw")
             if os.path.exists(raw):
                 return np.fromfile(raw, np.uint8).reshape(
                     s.image_height, s.image_width, 3)

@@ -236,7 +236,7 @@ def gt_point_counts(points, valid, gt_boxes7, gt_valid):
     dz = z[:, :, None] - gt_boxes7[:, None, :, 2]
     inside = ((jnp.abs(lx) <= gt_boxes7[:, None, :, 4] / 2)
               & (jnp.abs(ly) <= gt_boxes7[:, None, :, 3] / 2)
-              & (jnp.abs(dz) <= gt_boxes7[:, None, :, 5])
+              & (jnp.abs(dz) <= gt_boxes7[:, None, :, 5] / 2)
               & valid[:, :, None])
     return jnp.sum(inside, axis=1).astype(jnp.float32) * gt_valid
 

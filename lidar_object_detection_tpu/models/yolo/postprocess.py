@@ -218,9 +218,11 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     use_pallas = False
     if impl != "xla":    # keep the default path free of pallas imports
         from lidar_object_detection_tpu.ops import pallas_masks
+        cropped_h, cropped_w = bottom - top, right - left
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu"
-            and pallas_masks.supported(d, spec.src_h, spec.src_w))
+            and pallas_masks.supported(d, spec.src_h, spec.src_w,
+                                       cropped_h, cropped_w))
     if use_pallas:
         # fused upsample+threshold+crop+pack: no (D, H, W) float stack in
         # HBM and exact f32 regardless of `fast` (the bf16 shortcut exists

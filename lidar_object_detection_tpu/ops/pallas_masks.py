@@ -113,9 +113,19 @@ def resize_taps(n_in: int, n_out: int):
     return idx0, w0.astype(jnp.float32), w1.astype(jnp.float32), w
 
 
-def supported(num_det: int, src_h: int, src_w: int) -> bool:
-    return (num_det <= NUM_BITS and src_h % ROW_TILE == 0
-            and src_w % COL_TILE == 0)
+def supported(num_det: int, src_h: int, src_w: int,
+              mh_c: int | None = None, mw_c: int | None = None) -> bool:
+    """``mh_c``/``mw_c`` are the cropped proto-resolution mask dims.
+    Upsample-only: the 2-tap bilinear taps in :func:`resize_taps` match
+    ``jax.image.resize`` only when scaling up (downscale antialiases with
+    >2 taps per output)."""
+    ok = (num_det <= NUM_BITS and src_h % ROW_TILE == 0
+          and src_w % COL_TILE == 0)
+    if mh_c is not None:
+        ok = ok and mh_c <= src_h
+    if mw_c is not None:
+        ok = ok and mw_c <= src_w
+    return ok
 
 
 @functools.partial(jax.jit,
@@ -135,8 +145,10 @@ def pallas_assemble_masks(masks_c, boxes, det_valid, src_h: int, src_w: int,
     bit-compatible with the XLA ``_assemble_masks`` output.
     """
     d, mh_c, mw_c = masks_c.shape
-    if not supported(d, src_h, src_w):
-        raise ValueError(f"unsupported shape d={d} {src_h}x{src_w}")
+    if not supported(d, src_h, src_w, mh_c, mw_c):
+        raise ValueError(
+            f"unsupported shape d={d} {mh_c}x{mw_c} -> {src_h}x{src_w} "
+            "(needs d<=32, tile-aligned output, upsample-only)")
 
     m32 = jnp.zeros((NUM_BITS, mh_c, mw_c), jnp.float32)
     m32 = m32.at[:d].set(masks_c.astype(jnp.float32))

@@ -365,6 +365,11 @@ class TrainState:
     variables: Any          # {'params': ..., 'batch_stats': ...}
     opt_state: Any
     step: Any
+    # exponential moving average of `variables` (None when disabled);
+    # serving the EMA weights is the standard detector-distillation
+    # fidelity win -- updated inside the jitted step, so it costs one
+    # fused multiply-add sweep on device and no host traffic
+    ema_variables: Any = None
 
 
 def param_shardings(mesh: Mesh, variables) -> Any:
@@ -387,7 +392,7 @@ class YoloTrainer:
                  image_size: Tuple[int, int] = (192, 640),
                  max_targets: int = 32,
                  learning_rate: float = 1e-3, weight_decay: float = 5e-4,
-                 seg_weight: float = 1.0,
+                 seg_weight: float = 1.0, ema_decay: float = 0.0,
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.mesh = mesh
@@ -406,15 +411,19 @@ class YoloTrainer:
         variables = jax.device_put(variables, self.var_shardings)
         params = variables["params"]
         opt_state = self.tx.init(params)
+        self.ema_decay = float(ema_decay)
+        ema = variables if self.ema_decay > 0 else None
         self.state = TrainState(variables=variables, opt_state=opt_state,
-                                step=jnp.zeros((), jnp.int32))
+                                step=jnp.zeros((), jnp.int32),
+                                ema_variables=ema)
 
         data_spec = NamedSharding(mesh, P(DATA_AXIS))
         self._step = jax.jit(
             functools.partial(_train_step, model=self.model, tx=self.tx,
                               num_classes=cfg.num_classes,
                               level_shapes=self.level_shapes,
-                              seg_weight=seg_weight))
+                              seg_weight=seg_weight,
+                              ema_decay=self.ema_decay))
 
     def train_step(self, images, targets) -> Dict[str, Any]:
         """One optimizer step.  images (B, H, W, 3) in [0,1]; targets dict
@@ -431,7 +440,7 @@ class YoloTrainer:
 
 def _train_step(state: TrainState, images, targets, *, model: Yolo11,
                 tx, num_classes: int, level_shapes,
-                seg_weight: float = 1.0):
+                seg_weight: float = 1.0, ema_decay: float = 0.0):
     variables = state.variables
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
@@ -449,7 +458,16 @@ def _train_step(state: TrainState, images, targets, *, model: Yolo11,
     params = optax.apply_updates(params, updates_tx)
     new_vars = {"params": params, **rest}
     new_vars.update(updates)
+    step = state.step + 1
+    ema = state.ema_variables
+    if ema is not None and ema_decay > 0:
+        # warmup-ramped decay (min(d, (1+t)/(10+t))): early steps track the
+        # raw weights so a short run is not stuck at the init average
+        d = jnp.minimum(ema_decay, (1.0 + step) / (10.0 + step))
+        ema = jax.tree_util.tree_map(
+            lambda e, v: e * d + v.astype(e.dtype) * (1.0 - d),
+            ema, new_vars)
     new_state = TrainState(variables=new_vars, opt_state=opt_state,
-                           step=state.step + 1)
+                           step=step, ema_variables=ema)
     metrics = {"loss": loss, **parts, "step": new_state.step}
     return new_state, metrics

@@ -62,7 +62,8 @@ def run_kitti2d_eval(root: str,
                      output_dir: Optional[str] = None,
                      conf: float = 0.5, iou_threshold: float = 0.5,
                      camera_height: float = 1.65,
-                     class_id: int = 2) -> Kitti2DRunResult:
+                     class_id: int = 2,
+                     write_images: bool = True) -> Kitti2DRunResult:
     """Evaluate every image under ``root``.
 
     Args:
@@ -70,7 +71,9 @@ def run_kitti2d_eval(root: str,
         already confidence-filtered.  Defaults to the Flax YOLO detector
         with the reference's conf=0.5 / class 2 settings (:132,141).
       output_dir: when set, ``results_<name>.<ext>.txt`` files are written
-        (reference line format).
+        (reference line format) plus -- unless ``write_images=False`` --
+        the annotated per-image PNGs with box + ID/IoU/distance labels
+        (ObjectDetection_final.py:166-253, same basename as the input).
     """
     ds = Kitti2DDataset(root)
     if detect_fn is None:
@@ -97,4 +100,12 @@ def run_kitti2d_eval(root: str,
             with open(out_path, "w") as f:
                 for line in ev.result_lines():
                     f.write(line + "\n")
+            if write_images:
+                from lidar_object_detection_tpu.viz.overlay import \
+                    annotate_kitti2d_image
+                annotated = annotate_kitti2d_image(
+                    image, ev.matches, ev.precision, ev.recall)
+                Image.fromarray(annotated).save(
+                    os.path.join(output_dir,
+                                 os.path.basename(sample.image_path)))
     return Kitti2DRunResult(evaluations=evaluations)

@@ -307,34 +307,63 @@ class FusionPipeline:
         import queue
         import threading
         q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def put_checked(msg) -> bool:
+            """Bounded put that gives up when the consumer is gone, so an
+            abandoned generator can never wedge the producer thread (and
+            with it the C++ prefetcher's buffers) on a full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(msg, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
+            # an IO/decode failure must surface in the consumer as the
+            # exception it is -- NOT as a silently truncated stream that
+            # looks like a complete run
             try:
                 for item in chunks():
-                    q.put(item)
-            finally:
-                q.put(None)
+                    if not put_checked(("item", item)):
+                        return
+                put_checked(("done", None))
+            except BaseException as exc:  # noqa: BLE001 -- re-raised below
+                put_checked(("error", exc))
 
         threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            keep, batch, records, images = item
-            detections = self.detect(records, batch, images=images)
-            fused = self.fuse(batch, detections)
-            fused_np = {k: np.asarray(v) for k, v in fused.items()
-                        if k in ("total_points", "best_box", "points_inside",
-                                 "matched", "box_visible")}
-            for i, (fid, *_rest) in enumerate(keep):
-                rows = stats_lib.frame_statistics(
-                    fid, fused_np["total_points"][i],
-                    fused_np["best_box"][i], fused_np["points_inside"][i],
-                    fused_np["matched"][i], detections["det_valid"][i],
-                    fused_np["box_visible"][i])
-                if store is not None:
-                    store.update_frame(fid, rows)
-                yield fid, rows
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == "done":
+                    break
+                if kind == "error":
+                    raise item
+                keep, batch, records, images = item
+                detections = self.detect(records, batch, images=images)
+                fused = self.fuse(batch, detections)
+                fused_np = {k: np.asarray(v) for k, v in fused.items()
+                            if k in ("total_points", "best_box",
+                                     "points_inside", "matched",
+                                     "box_visible")}
+                for i, (fid, *_rest) in enumerate(keep):
+                    rows = stats_lib.frame_statistics(
+                        fid, fused_np["total_points"][i],
+                        fused_np["best_box"][i], fused_np["points_inside"][i],
+                        fused_np["matched"][i], detections["det_valid"][i],
+                        fused_np["box_visible"][i])
+                    if store is not None:
+                        store.update_frame(fid, rows)
+                    yield fid, rows
+        finally:
+            stop.set()
+            try:                      # unblock a producer mid-put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _assemble_stream_batch(self, keep) -> FrameBatch:
         """Fixed-shape batch straight from prefetcher buffers: the point

@@ -157,3 +157,73 @@ def depth_map_figure(depth_map: np.ndarray, seg_image: np.ndarray,
     axs[1].axis("off")
     fig.savefig(save_path, bbox_inches="tight", dpi=150, transparent=True)
     plt.close(fig)
+
+
+def draw_label(image: np.ndarray, text: str, position: Tuple[int, int],
+               text_color: Tuple[int, int, int] = (255, 255, 255),
+               bg_color: Tuple[int, int, int] = (0, 0, 0),
+               alpha: float = 0.6) -> np.ndarray:
+    """Text with an alpha-blended background rectangle on an RGB uint8
+    image -- ``draw_text_with_background`` (ObjectDetection_final.py:47-76)
+    rebuilt on PIL (no cv2 in this framework).  ``position`` is the text
+    BASELINE anchor like cv2.putText; colors are RGB."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    img = Image.fromarray(image)
+    draw = ImageDraw.Draw(img)
+    x, y = int(position[0]), int(position[1])
+    left, top, right, bottom = draw.textbbox((0, 0), text, font=font)
+    tw, th = right - left, bottom - top
+    # background: blend rect into the image at `alpha` like cv2.addWeighted
+    arr = np.asarray(img).copy()
+    h, w = arr.shape[:2]
+    y0, y1 = max(y - th - 2, 0), min(y + 2, h)
+    x0, x1 = max(x, 0), min(x + tw + 5, w)
+    if y1 > y0 and x1 > x0:
+        patch = arr[y0:y1, x0:x1].astype(np.float32)
+        bg = np.asarray(bg_color, np.float32)
+        arr[y0:y1, x0:x1] = (alpha * bg + (1 - alpha) * patch).astype(np.uint8)
+    img = Image.fromarray(arr)
+    draw = ImageDraw.Draw(img)
+    draw.text((x, y - th), text, fill=tuple(text_color), font=font)
+    return np.asarray(img)
+
+
+def annotate_kitti2d_image(image: np.ndarray, matches,
+                           precision: float, recall: float) -> np.ndarray:
+    """The reference's annotated KITTI-2D result image
+    (ObjectDetection_final.py:166-253): per matched detection a red box and
+    four labels (ID / IoU / YOLO dist / GT dist) above-below its top-left
+    corner, a running summary column on the right, and the image-level
+    recall/precision banner.  ``matches`` is a list of
+    :class:`...eval.kitti2d.MatchRecord`.  RGB in, RGB out."""
+    out = image.copy()
+    h, w = out.shape[:2]
+    y_off = 250
+    sum_x = min(1000, max(w - 400, 0))
+    for m in matches:
+        x1, y1, x2, y2 = [int(v) for v in m.det_box]
+        out = draw_boxes(out, np.asarray([[x1, y1, x2, y2]]),
+                         colors=[(0, 0, 255)], thickness=1)  # BGR red
+        white = (255, 255, 255)
+        out = draw_label(out, f"ID: {m.car_id}", (x1, y1 - 35),
+                         text_color=(0, 0, 0), bg_color=white)
+        out = draw_label(out, f"IoU: {m.iou:.2f}", (x1, y1 - 20),
+                         text_color=(219, 22, 107), bg_color=white)
+        out = draw_label(out, f"YOLO: {m.yolo_distance:.2f}m", (x1, y1 - 5),
+                         text_color=(255, 0, 0), bg_color=white)
+        out = draw_label(out, f"GT: {m.gt_distance:.2f}m", (x1, y1 + 10),
+                         text_color=(0, 255, 0), bg_color=white)
+        out = draw_label(
+            out,
+            f"ID: {m.car_id:.2f} ; gt: {m.gt_distance:.2f}m ; "
+            f"yolo: {m.yolo_distance:.2f} m; IoU: {m.iou:.2f}",
+            (sum_x, y_off), text_color=(0, 0, 0), bg_color=white)
+        y_off += 15
+    out = draw_label(out,
+                     f"Recall: {recall:.2f} ; Precision: {precision:.2f}",
+                     (min(420, max(w - 500, 0)), min(330, h - 10)),
+                     text_color=(232, 67, 67), bg_color=(255, 255, 255),
+                     alpha=0.0)
+    return out

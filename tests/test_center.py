@@ -284,6 +284,22 @@ class TestStarveWeighting:
         assert counts.shape == (1, 1)
         assert int(counts[0, 0]) == 2
 
+    def test_gt_point_counts_z_half_height(self):
+        """z containment is |dz| <= h/2 about the box CENTER (boxes7
+        convention, points_in_box7) -- a ground return h below the center
+        must NOT count."""
+        from lidar_object_detection_tpu.models.pointpillars.center import (
+            gt_point_counts)
+        # box center z = -1.0, height 1.6 -> valid z in [-1.8, -0.2]
+        box = jnp.asarray([[[10.0, 0.0, -1.0, 1.8, 4.2, 1.6, 0.0]]])
+        pts = jnp.asarray([[[10.0, 0.0, -0.25, 0.0],   # just inside top
+                            [10.0, 0.0, -1.75, 0.0],   # just inside bottom
+                            [10.0, 0.0, -0.15, 0.0],   # above h/2: outside
+                            [10.0, 0.0, -2.30, 0.0]]])  # ground return: out
+        valid = jnp.ones((1, 4), bool)
+        counts = gt_point_counts(pts, valid, box, jnp.ones((1, 1), bool))
+        assert int(counts[0, 0]) == 2
+
     def test_starve_weights_monotone(self):
         from lidar_object_detection_tpu.models.pointpillars.center import (
             starve_weights)

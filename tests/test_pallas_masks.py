@@ -86,6 +86,11 @@ def test_supported_guard():
     assert not supported(33, H, W)
     assert not supported(32, H + 1, W)
     assert not supported(32, H, W + 1)
+    # upsample-only: proto-res masks larger than the output would need
+    # antialiased (>2-tap) interpolation the kernel does not implement
+    assert supported(32, H, W, H // 4, W // 4)
+    assert not supported(32, H, W, H + 8, W // 4)
+    assert not supported(32, H, W, H // 4, W + 128)
     mh, mw = _spec().dst_h // 4, _spec().dst_w // 4
     with pytest.raises(ValueError):
         pallas_assemble_masks(jnp.zeros((32, mh, mw)), jnp.zeros((32, 4)),

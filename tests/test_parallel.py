@@ -144,6 +144,39 @@ def test_trainer_step_runs_and_descends(det_trainer):
     assert int(trainer.state.step) == step0 + 3
 
 
+def test_trainer_ema_tracks_weights(mesh8):
+    """ema_decay keeps a device-resident EMA copy: after a step it differs
+    from both the init and the raw weights, and sits between them (the
+    serving-fidelity lever for the distill retrain)."""
+    cfg = YoloConfig(scale="n", num_classes=8, segment=False)
+    trainer = YoloTrainer(cfg, mesh8, image_size=(64, 64),
+                          learning_rate=5e-2, ema_decay=0.9)
+    leaf = lambda vs: np.asarray(
+        jax.tree_util.tree_leaves(vs["params"])[0], np.float64)
+    init = leaf(trainer.state.variables)
+    assert trainer.state.ema_variables is not None
+    rng = np.random.default_rng(0)
+    images = rng.random((4, 64, 64, 3), np.float32)
+    targets = _det_targets()
+    # replay the recurrence on host: ema <- ema*d + w*(1-d) with the
+    # warmup ramp d = min(decay, (1+step)/(10+step))
+    expect = init.copy()
+    for _ in range(2):
+        trainer.train_step(images, targets)
+        step = int(trainer.state.step)
+        d = min(0.9, (1.0 + step) / (10.0 + step))
+        expect = expect * d + leaf(trainer.state.variables) * (1.0 - d)
+    raw = leaf(trainer.state.variables)
+    ema = leaf(trainer.state.ema_variables)
+    assert not np.allclose(ema, raw)
+    assert not np.allclose(ema, init)
+    np.testing.assert_allclose(ema, expect, rtol=1e-5, atol=1e-7)
+
+    # disabled by default: no EMA copy, no extra memory
+    t2 = YoloTrainer(cfg, mesh8, image_size=(64, 64))
+    assert t2.state.ema_variables is None
+
+
 def test_trainer_loss_parts(mesh8):
     from lidar_object_detection_tpu.parallel import detection_loss
 

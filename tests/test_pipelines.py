@@ -204,6 +204,52 @@ def test_streaming_fusion(kitti_root, tmp_path, monkeypatch):
         assert sr["points_inside_bbox"] == br.points_inside_bbox
 
 
+def test_streaming_error_propagates(kitti_root, monkeypatch):
+    """A producer-side IO failure must raise in the consumer, not end the
+    stream early as if the run completed (silent short CSVs)."""
+    from lidar_object_detection_tpu.config import FusionConfig
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+
+    cfg = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    ds = Kitti360Dataset(kitti_root, shapes=cfg.shapes)
+    pipe = FusionPipeline(ds, cfg)
+
+    def _boom(fid):
+        raise OSError(f"synthetic box-load failure for frame {fid}")
+    monkeypatch.setattr(ds, "load_boxes", _boom)
+    with pytest.raises(OSError, match="synthetic box-load failure"):
+        for _ in pipe.stream([100], chunk=1):
+            pass
+
+
+def test_streaming_abandoned_generator_unblocks_producer(kitti_root):
+    """Closing the stream() generator early must let the producer thread
+    exit instead of wedging on the bounded queue forever."""
+    import threading
+    import time as _time
+
+    from lidar_object_detection_tpu.config import FusionConfig
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+
+    cfg = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    ds = Kitti360Dataset(kitti_root, shapes=cfg.shapes)
+    pipe = FusionPipeline(ds, cfg)
+    before = {t.ident for t in threading.enumerate()}
+    gen = pipe.stream([100, 250, 360], chunk=1)
+    next(gen)           # producer is now running ahead
+    gen.close()         # abandon mid-stream
+    deadline = _time.monotonic() + 10.0
+    while _time.monotonic() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        _time.sleep(0.1)
+    assert not extra, f"producer thread leaked: {extra}"
+
+
 def test_compaction_exactness(dataset, frame100):
     """Host-culled points give bit-identical fusion outputs: the cull is
     conservative (margin + depth slack) and the device's exact validity

@@ -113,3 +113,73 @@ def test_analysis_cloud_both_colorings(kitti_root, tmp_path):
     p2 = tmp_path / "analysis_car.ply"
     write_ply(str(p2), pts2, colors2)
     assert p2.exists()
+
+
+class TestKitti2DAnnotation:
+    """The annotated KITTI-2D result image writer
+    (ObjectDetection_final.py:166-253 rebuilt on PIL)."""
+
+    def _match(self, car_id=1, det=(40, 60, 120, 110)):
+        from lidar_object_detection_tpu.eval.kitti2d import MatchRecord
+        return MatchRecord(car_id=car_id, det_box=np.asarray(det),
+                           gt_box=np.asarray([38, 58, 122, 112]),
+                           iou=0.83, yolo_distance=17.42, gt_distance=16.9)
+
+    def test_draw_label_blends_background(self):
+        from lidar_object_detection_tpu.viz.overlay import draw_label
+        img = np.full((60, 200, 3), 128, np.uint8)
+        out = draw_label(img, "IoU: 0.83", (10, 40),
+                         text_color=(255, 0, 0), bg_color=(255, 255, 255),
+                         alpha=0.6)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert (img == 128).all()                 # input untouched
+        # 0.6-alpha white over grey 128 -> 204 in the background box
+        assert (out == 204).any()
+        assert (out[..., 0] > out[..., 1]).any()  # red text pixels exist
+
+    def test_annotated_image_has_box_and_labels(self):
+        from lidar_object_detection_tpu.viz.overlay import \
+            annotate_kitti2d_image
+        img = np.full((200, 400, 3), 90, np.uint8)
+        out = annotate_kitti2d_image(img, [self._match()],
+                                     precision=0.75, recall=0.60)
+        assert out.shape == img.shape
+        # red detection rectangle along the bottom edge of the det box
+        # (labels legitimately overdraw parts of the top edge, as in the
+        # reference's draw order)
+        bottom = out[110, 40:121]
+        assert (bottom[:, 0] == 255).all() and (bottom[:, 1] == 0).all()
+        # label rows above the box were blended/written
+        assert (out[25:60, 40:150] != 90).any()
+        assert (out != 90).any()
+
+    def test_eval_writes_annotated_pngs(self, tmp_path):
+        """run_kitti2d_eval emits results_*.txt AND the annotated image
+        with the same basename as the input (reference output layout)."""
+        from PIL import Image
+
+        from lidar_object_detection_tpu.pipelines.kitti2d import \
+            run_kitti2d_eval
+
+        root = tmp_path / "kitti_sel"
+        for sub in ("images", "labels", "calib"):
+            (root / sub).mkdir(parents=True)
+        img = np.full((128, 256, 3), 70, np.uint8)
+        Image.fromarray(img).save(root / "images" / "000042.png")
+        # one GT car: xyxy + distance
+        (root / "labels" / "000042.txt").write_text(
+            "Car 40 60 120 110 17.0\n")
+        np.savetxt(root / "calib" / "000042.txt",
+                   np.asarray([[700.0, 0, 128], [0, 700, 64], [0, 0, 1]]))
+
+        dets = np.asarray([[42, 61, 118, 108]], np.int64)
+        out_dir = tmp_path / "results"
+        res = run_kitti2d_eval(str(root), detect_fn=lambda image: dets,
+                               output_dir=str(out_dir))
+        assert (out_dir / "results_000042.png.txt").exists()
+        png = out_dir / "000042.png"
+        assert png.exists()
+        rendered = np.asarray(Image.open(png))
+        assert rendered.shape == img.shape
+        assert (rendered != 70).any()             # annotations present
+        assert res.totals["tp"] == 1
