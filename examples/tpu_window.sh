@@ -46,7 +46,17 @@ if [ "${1:-}" = retrain ]; then
   timeout 3600 python examples/regen_artifacts.py \
       --ckpt /tmp/yolo_x_segw3.msgpack --out /tmp/artifacts_x_segw3 \
       2>&1 | tee "$LOG/4b_regen.log"
-  echo "(if aggregates beat 69.52: export via examples/export_yolo_ckpt.py,"
+  python - <<'PY' | tee "$LOG/4b_verdict.log"
+import json
+s = json.load(open("/tmp/artifacts_x_segw3/summary.json"))
+got = s["erosion_study"]["mean_inside_pct_eroded"]
+ref = 74.48
+best_prev = 69.52
+print(f"mean inside-% eroded: {got} (ref {ref}, prev best {best_prev})")
+print("VERDICT:", "BEATS-REFERENCE" if got >= ref
+      else "IMPROVED" if got > best_prev else "NO-GAIN")
+PY
+  echo "(on IMPROVED/BEATS-REFERENCE: export via examples/export_yolo_ckpt.py,"
   echo " commit checkpoint + artifacts, update PERFORMANCE/BASELINE)"
 fi
 echo "=== runbook done; logs in $LOG ==="
