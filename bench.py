@@ -55,10 +55,9 @@ KITTI_ROOT = os.environ.get("LIDAR_TPU_KITTI360",
                             "/root/reference/KITTI360_sample")
 BASELINE_FPS = 500.0
 
-# set once the headline is measured; the watchdog and the final print both
-# read it
-_HEADLINE = {}
-_PRINTED = threading.Event()
+# rebound (single atomic reference assignment) once the headline is
+# measured; the watchdog thread and the main thread both read it
+_HEADLINE: dict = {}
 
 
 def _emit(record: dict) -> None:
@@ -377,14 +376,15 @@ def _run_extras_subprocess(extra: dict) -> None:
         if time.monotonic() - t_start > budget:
             extra[f"{name}_skipped"] = "budget"
             continue
+        eff_timeout = min(per_timeout,
+                          max(60.0, budget - (time.monotonic() - t_start)))
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--extra", name],
                 cwd=ROOT, capture_output=True, text=True,
-                timeout=min(per_timeout,
-                            max(60.0, budget - (time.monotonic() - t_start))))
+                timeout=eff_timeout)
         except subprocess.TimeoutExpired:
-            extra[f"{name}_error"] = f"timeout >{per_timeout:.0f}s"
+            extra[f"{name}_error"] = f"timeout >{eff_timeout:.0f}s"
             continue
         payload = None
         for line in res.stdout.splitlines():
@@ -421,13 +421,16 @@ def main():
     detector = ctx.make_detector(ctx.scale, ctx.variables)
     fps = ctx.timed_e2e(detector)
 
-    _HEADLINE.update({
+    # build the record locally, then publish with one reference assignment
+    # so the watchdog thread can never observe a partial headline
+    global _HEADLINE
+    _HEADLINE = {
         "metric": (f"kitti360_e2e_frames_per_sec_per_chip"
                    f"(yolo11{ctx.scale}-seg+fusion)"),
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
-    })
+    }
     # the headline can never be lost to anything that happens below
     _emit(_headline_record())
 

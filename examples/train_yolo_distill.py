@@ -276,11 +276,17 @@ def train(labels, steps: int, lr: float, ckpt: str, scale: str = "n",
 
     if resume and os.path.exists(ckpt):
         from flax import serialization
-        variables, step0 = load_ckpt_variables(ckpt)
+        with open(ckpt, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        variables = raw["variables"]
+        step0 = int(np.asarray(raw["step"]))
+        # Seed EMA from the saved EMA copy when present so an interrupted
+        # --ema-decay run resumes its average instead of resetting it.
+        ema_src = raw.get("ema_variables") or variables
         trainer.state = trainer.state.replace(
             variables=jax.device_put(variables),
             step=jnp.asarray(step0, jnp.int32),
-            ema_variables=(jax.device_put(variables)
+            ema_variables=(jax.device_put(ema_src)
                            if trainer.state.ema_variables is not None
                            else None))
         if os.path.exists(ckpt + ".opt"):

@@ -91,3 +91,32 @@ def test_checkpoint_roundtrip(tmp_path):
     k1 = jax.tree_util.tree_leaves(restored.variables)[0]
     np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
     assert int(restored.step) == int(trainer.state.step)
+
+
+def test_compilation_cache_cpu_keyed_by_host(monkeypatch, tmp_path):
+    """CPU cache entries embed host machine code; the cache dir must be
+    keyed by the host CPU signature so a shared dir can never serve an
+    executable compiled on a different host (MULTICHIP_r04 SIGILL risk)."""
+    import jax
+
+    from lidar_object_detection_tpu.utils import cache as cache_mod
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    monkeypatch.setenv("LIDAR_TPU_COMPILE_CACHE", str(tmp_path / "xla"))
+    # conftest pins jax_platforms to cpu for the suite
+    assert cache_mod._effective_platform() == "cpu"
+    tag = cache_mod._host_cpu_tag()
+    assert tag and "/" not in tag
+    cache_mod.enable_compilation_cache()
+    configured = jax.config.jax_compilation_cache_dir
+    assert configured == str(tmp_path / "xla" / f"cpu-{tag}")
+    assert os.path.isdir(configured)
+
+    # non-cpu platforms keep the shared directory (TPU executables are
+    # not host-CPU-dependent; cross-host warmth is desirable there)
+    monkeypatch.setattr(cache_mod, "_effective_platform", lambda: "tpu")
+    cache_mod.enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+
+    # leave the session's cache where the suite had it
+    jax.config.update("jax_compilation_cache_dir", prev_dir)
