@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
 
 
-def build_detector(ckpt: str, conf: float = 0.25):
+def build_detector(ckpt: str, conf: float = 0.25,
+                   mask_threshold: float = 0.5):
     import jax.numpy as jnp
     from flax import serialization
 
@@ -51,7 +52,7 @@ def build_detector(ckpt: str, conf: float = 0.25):
         raw = serialization.msgpack_restore(f.read())
     det = YoloDetector((376, 1408), YoloConfig(scale=scale),
                        variables=raw["variables"], conf=conf,
-                       max_detections=32)
+                       mask_threshold=mask_threshold, max_detections=32)
     return det, int(np.asarray(raw["step"]))
 
 
@@ -61,6 +62,9 @@ def main():
     ap.add_argument("--dataset", default=KITTI)
     ap.add_argument("--out", default="artifacts/learned_detector")
     ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--mask-thr", type=float, default=0.5,
+                    help="mask binarization threshold (sweep-selected "
+                         "serving point; see quality_knob_sweep.py)")
     ap.add_argument("--depth-map-frames", type=int, nargs="*", default=[100])
     ap.add_argument("--overlay-frames", type=int, nargs="*",
                     default=[100, 2033])
@@ -71,7 +75,7 @@ def main():
     enable_compilation_cache()
 
     os.makedirs(args.out, exist_ok=True)
-    detector, step = build_detector(args.ckpt, args.conf)
+    detector, step = build_detector(args.ckpt, args.conf, args.mask_thr)
     print(f"[regen] detector from {args.ckpt} (step {step})", flush=True)
 
     # --- 1. erosion study: both fusion runs behind ONE detection pass ---
@@ -150,6 +154,7 @@ def main():
 
     payload = {
         "checkpoint": args.ckpt, "ckpt_step": step, "conf": args.conf,
+        "mask_threshold": args.mask_thr,
         "erosion_study": summary,
         "csv_eval": run_e.summary(),
         "no_erosion": run_r.summary(),

@@ -43,7 +43,7 @@ class YoloDetector:
                  conf: float = 0.25, iou: float = 0.7, class_id: int = 2,
                  max_detections: int = 32, max_candidates: int = 256,
                  fast_masks: bool = False, fold_weights: bool = False,
-                 mask_assembly: str = "xla",
+                 mask_assembly: str = "xla", mask_threshold: float = 0.5,
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.model = Yolo11(cfg, dtype=dtype)
@@ -53,7 +53,7 @@ class YoloDetector:
             spec=self.spec, conf_threshold=conf, iou_threshold=iou,
             class_id=class_id, max_candidates=max_candidates,
             max_detections=max_detections, fast_masks=fast_masks,
-            mask_assembly=mask_assembly)
+            mask_assembly=mask_assembly, mask_threshold=mask_threshold)
         if variables is None:
             dummy = jnp.zeros((1, self.spec.dst_h, self.spec.dst_w, 3), dtype)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed),

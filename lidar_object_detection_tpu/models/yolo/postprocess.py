@@ -117,6 +117,11 @@ class PostprocessParams:
     max_candidates: int = 256
     max_detections: int = 32
     retina_masks: bool = True
+    # instance-mask binarization threshold (ultralytics hardcodes 0.5 in
+    # process_mask_native).  Raising it shrinks predicted masks toward
+    # their confident core -- a serving-side precision/recall knob for the
+    # inside-% metric (see examples/quality_knob_sweep.py).
+    mask_threshold: float = 0.5
     # mask assembly backend: "auto" uses the fused Pallas kernel on TPU
     # (ops/pallas_masks.py -- no (D, H, W) float stack in HBM, exact f32)
     # and the XLA resize elsewhere; "xla" / "pallas" force a backend.
@@ -188,17 +193,20 @@ def postprocess_single(outputs, params: PostprocessParams):
         det_coef = coef_flat[top_idx][keep_idx]                # (D, nm)
         out["mask_bits"] = _assemble_masks(
             outputs["proto"], det_coef, det_boxes, keep_valid, spec,
-            fast=p.fast_masks, impl=p.mask_assembly)
+            fast=p.fast_masks, impl=p.mask_assembly,
+            threshold=p.mask_threshold)
     else:
         out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
     return out
 
 
 def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
-                    fast: bool = False, impl: str = "xla"):
+                    fast: bool = False, impl: str = "xla",
+                    threshold: float = 0.5):
     """``process_mask_native``: sigmoid(coef @ protos), strip letterbox
     padding at proto resolution, bilinear-resize to the original image,
-    crop to each box, threshold 0.5 -- emitted as packed uint32 bits."""
+    crop to each box, threshold (0.5 default) -- emitted as packed uint32
+    bits."""
     mh, mw, nm = protos.shape
     d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
@@ -216,7 +224,9 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     masks = masks[:, top:bottom, left:right]
 
     use_pallas = False
-    if impl != "xla":    # keep the default path free of pallas imports
+    # the fused kernel bakes the 0.5 threshold; non-default thresholds
+    # take the XLA path
+    if impl != "xla" and threshold == 0.5:
         from lidar_object_detection_tpu.ops import pallas_masks
         cropped_h, cropped_w = bottom - top, right - left
         use_pallas = impl == "pallas" or (
@@ -243,7 +253,7 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     x2 = boxes[:, 2][:, None, None]
     y2 = boxes[:, 3][:, None, None]
     in_box = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
-    binary = (masks > 0.5) & in_box & det_valid[:, None, None]
+    binary = (masks > threshold) & in_box & det_valid[:, None, None]
 
     weights = (jnp.uint32(1) << jnp.arange(d, dtype=jnp.uint32))
     return jnp.sum(binary.astype(jnp.uint32) * weights[:, None, None],

@@ -14,6 +14,14 @@ backend the cache lives in a per-CPU-signature subdirectory keyed by the
 /proc/cpuinfo flags line; TPU executables are not host-CPU-dependent and
 keep the shared directory (warm across hosts, which is what the driver
 bench wants).
+
+Note: XLA:CPU's AOT loader still logs a feature-mismatch ERROR even when
+a host loads an entry it compiled itself -- the compile side records LLVM
+*tuning* pseudo-features (+prefer-no-gather / +prefer-no-scatter, x86
+Downfall mitigations) that load-time host-feature enumeration never
+reports.  With the per-host keying here those lines are same-host false
+positives by construction; __graft_entry__.dryrun_multichip filters them
+from its tail.
 """
 
 from __future__ import annotations
