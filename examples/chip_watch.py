@@ -61,6 +61,11 @@ def probe_once(timeout_s: float, probe_argv: list[str] | None = None,
     if res.returncode == 0 and "PROBE_OK" in res.stdout:
         return True, res.stdout.strip().split()[-1]
     tail = (res.stderr or res.stdout or "").strip().splitlines()
+    # prefer the actual exception line over JAX's trailing
+    # traceback-filtering notice
+    for line in reversed(tail):
+        if "Error" in line or "error" in line:
+            return False, line.strip()[:240]
     return False, (tail[-1][:240] if tail else f"rc={res.returncode}")
 
 

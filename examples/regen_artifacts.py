@@ -68,8 +68,14 @@ def main():
     ap.add_argument("--depth-map-frames", type=int, nargs="*", default=[100])
     ap.add_argument("--overlay-frames", type=int, nargs="*",
                     default=[100, 2033])
+    ap.add_argument("--platform", default=os.environ.get(
+        "LIDAR_TPU_PLATFORM"), help="jax platform override (cpu/tpu); the "
+        "image's sitecustomize pins the axon TPU otherwise")
     args = ap.parse_args()
 
+    if args.platform and args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from lidar_object_detection_tpu.utils.cache import \
         enable_compilation_cache
     enable_compilation_cache()
@@ -127,11 +133,15 @@ def main():
                                                         overlay_masks)
     ov_dir = os.path.join(args.out, "seg_overlays")
     os.makedirs(ov_dir, exist_ok=True)
-    recs = ds.load_frames(args.overlay_frames)
-    batch = ds.make_batch(recs)
-    images = ds.load_images(batch)
+    # image-only: segmentation overlays need no bboxes, so the no-bbox
+    # frame (2717 -- skipped by load_frames) is still covered, matching
+    # the reference's Predictions/Seg inventory of ALL 20 frames
+    ov_ids = [f for f in args.overlay_frames
+              if os.path.exists(ds.image_path(f))]
+    images = np.stack([np.asarray(Image.open(ds.image_path(f)).convert("RGB"))
+                       for f in ov_ids])
     det_out = detector.detect(images)
-    for i, rec in enumerate(recs):
+    for i, fid in enumerate(ov_ids):
         dv = np.asarray(det_out["det_valid"][i])
         n = int(dv.sum())
         colors = golden_colors(max(n, 1))
@@ -141,8 +151,8 @@ def main():
         vis = draw_boxes(overlay_masks(images[i], masks, colors),
                          boxes, colors)
         Image.fromarray(vis).save(
-            os.path.join(ov_dir, f"{rec.frame_id:010d}.png"))
-    print(f"[regen] {len(recs)} overlays", flush=True)
+            os.path.join(ov_dir, f"{fid:010d}.png"))
+    print(f"[regen] {len(ov_ids)} overlays", flush=True)
 
     # --- 4. V5 Hungarian smoke (matched pairs from the learned boxes) ---
     cfg5 = FusionConfig.for_version(PipelineVersion.V5_PROJECTED)

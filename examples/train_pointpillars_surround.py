@@ -14,6 +14,18 @@ Usage: python examples/train_pointpillars_surround.py [steps] [out.json]
            [--subsample=65536] [--fade=0.85] [--frames=4] [--lr=2e-3]
            [--cache=/tmp/pp_frames.npz] [--ckpt=/tmp/pp_ckpt.msgpack]
            [--head=ssd|center] [--starve-weight=4] [--protect-starved=2048]
+           [--eval-frames=auto|2903,2939]
+
+``--eval-frames`` switches from the legacy 4-frame overfit gate to a REAL
+held-out split over every usable sample frame (spatial_split: train on
+17, evaluate on the 2 most ego-separated; GT-paste database built from
+train frames only).  Reported alongside overall held-out recall is
+``heldout_clean_recall`` over eval boxes outside every train frame's grid
+footprint -- the leakage-free subset.  Recommended quality run:
+
+  python examples/train_pointpillars_surround.py 8000 /tmp/pp_split.json \
+      --eval-frames=auto --protect-starved=2048 \
+      --cache=/tmp/pp_frames_split.npz --ckpt=/tmp/pp_split_ckpt.msgpack
 
 ``--cache`` memoizes the pose-aggregated clouds (the aggregation +
 GT-database build costs ~8 min); ``--ckpt`` saves train state after every
@@ -60,6 +72,12 @@ def main():
     ckpt_path = flag_val("ckpt", "", str)
     head = flag_val("head", "ssd", str)
     starve_w = flag_val("starve-weight", 0.0, float)
+    # --eval-frames=2903,2939 (or "auto"): REAL train/eval split over all
+    # usable sample frames -- train on the rest, evaluate on the held-out
+    # aggregated clouds (pipelines.pointpillars.spatial_split; the 4-frame
+    # default below is the legacy overfit gate).  "auto" picks the eval
+    # pair maximizing ego separation (103 m -> frames 2903+2939).
+    eval_frames_flag = flag_val("eval-frames", "", str)
     no_augment = "--no-augment" in flags   # pure clean-frame overfit polish
     # protect-starved=T: points inside GT boxes holding <= T points are
     # exempt from the per-step random subsample.  Root cause this fixes:
@@ -97,25 +115,50 @@ def main():
     import optax
 
     import os
+    ds = Kitti360Dataset(root, shapes=ShapeConfig())
+    split = None
+    if eval_frames_flag:
+        ev = (None if eval_frames_flag == "auto"
+              else [int(x) for x in eval_frames_flag.split(",")])
+        split = pp.spatial_split(ds, eval_frames=ev, grid=cfg.grid)
+        targets = split.train + split.eval
+        report["config"]["split"] = split.summary()
+        print(f"split: {json.dumps(split.summary())}", flush=True)
+    else:
+        targets = ds.frame_ids()[:n_frames]
+
+    cached = None
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
-        nf = int(z["n"])
-        frames = [(z[f"p{i}"], z[f"b{i}"]) for i in range(nf)]
-        print(f"loaded {nf} cached aggregated frames from {cache_path}",
-              flush=True)
+        ids = list(z["ids"]) if "ids" in z else None
+        if ids == targets or (ids is None and split is None):
+            nf = int(z["n"])
+            cached = [(z[f"p{i}"], z[f"b{i}"]) for i in range(nf)]
+            print(f"loaded {nf} cached aggregated frames from {cache_path}",
+                  flush=True)
+        else:
+            print(f"cache {cache_path} is for frames {ids}; rebuilding",
+                  flush=True)
+    if cached is not None:
+        frames = cached
     else:
-        ds = Kitti360Dataset(root, shapes=ShapeConfig())
-        targets = ds.frame_ids()[:n_frames]
         print(f"aggregating {len(ds.frame_ids())} sweeps into "
               f"{len(targets)} target frames...", flush=True)
         frames = pp.load_aggregated_frames(ds, targets, grid=cfg.grid,
                                            max_points=eval_points,
                                            protect_in_box=protect_thresh)
         if cache_path:
-            arrs = {"n": np.int32(len(frames))}
+            arrs = {"n": np.int32(len(frames)),
+                    "ids": np.asarray(targets, np.int64)}
             for i, (p, b) in enumerate(frames):
                 arrs[f"p{i}"], arrs[f"b{i}"] = p, b
             np.savez(cache_path, **arrs)
+    # index ranges: with a split, training samples ONLY train frames and
+    # evaluation runs ONLY on the held-out tail
+    train_idx = list(range(len(split.train))) if split else list(
+        range(len(frames)))
+    eval_idx = (list(range(len(split.train), len(frames))) if split
+                else list(range(len(frames))))
     for (p, b) in frames:
         print(f"  {len(p)} pts, {len(b)} gt boxes", flush=True)
     prot_idx = rest_idx = None
@@ -151,11 +194,12 @@ def main():
             f"{len(pr)}/{len(p)}" for pr, (p, _) in zip(prot_idx, frames)),
             flush=True)
 
-    db = GtDatabase.build(frames)
-    print(f"gt database: {len(db)} cut-outs "
-          f"({time.time() - t0:.0f}s)", flush=True)
+    # GT-paste database from TRAIN frames only (pasting eval cars into
+    # training clouds would be direct label leakage under a split)
+    db = GtDatabase.build([frames[i] for i in train_idx])
+    print(f"gt database: {len(db)} cut-outs from {len(train_idx)} train "
+          f"frames ({time.time() - t0:.0f}s)", flush=True)
     MAX_GT = pp.MAX_GT
-    n = len(frames)
 
     mesh = make_mesh(jax.devices()[:1])
     schedule = optax.cosine_decay_schedule(lr_peak, max(steps, 1),
@@ -191,25 +235,18 @@ def main():
         with open(ckpt_path + ".json", "w") as f:
             json.dump(pillars_config_meta(cfg), f)
 
-    # full-cloud eval batch (clean frames, deterministic)
-    p_full = eval_points
-    e_pts = np.zeros((n, p_full, 4), np.float32)
-    e_pv = np.zeros((n, p_full), bool)
-    e_gt = np.zeros((n, MAX_GT, 7), np.float32)
-    e_gv = np.zeros((n, MAX_GT), bool)
-    for j, (p, bx) in enumerate(frames):
-        k = min(len(p), p_full)
-        e_pts[j, :k] = p[:k]
-        e_pv[j, :k] = True
-        g = min(len(bx), MAX_GT)
-        e_gt[j, :g] = bx[:g]
-        e_gv[j, :g] = True
+    # full-cloud eval batch (clean frames, deterministic; under a split:
+    # ONLY the held-out frames)
+    n_eval = len(eval_idx)
+    e_pts, e_pv, e_gt, _, e_gv = pp.pack_frames(
+        [frames[i] for i in eval_idx], eval_points, MAX_GT)
 
     def evaluate(score_threshold=0.1):
         out = trainer.apply(e_pts, e_pv)
         matched = total_gt = total_det = 0
+        clean_matched = clean_total = 0
         dets, gts = [], []
-        for i in range(n):
+        for i in range(n_eval):
             one = jax.tree_util.tree_map(lambda x: x[i], out)
             det = decode_predictions(one, cfg,
                                      score_threshold=score_threshold,
@@ -219,11 +256,21 @@ def main():
             matched += r.matched
             total_gt += r.total_gt
             total_det += r.total_det
+            if split is not None:
+                # non-overlapped subset: eval boxes outside every train
+                # frame's grid footprint (annotation order, MAX_GT-capped)
+                ov = split.overlap_masks[split.eval[i]][:MAX_GT]
+                clean = e_gv[i].copy()
+                clean[:len(ov)] &= ~ov
+                clean_total += int(clean.sum())
+                clean_matched += int((r.matched_gt & clean).sum())
             ok = np.asarray(det["valid"])
             dets.append((np.asarray(det["boxes7"])[ok],
                          np.asarray(det["scores"])[ok]))
             gts.append(e_gt[i][e_gv[i]])
-        return matched, total_gt, total_det, bev_ap(dets, gts)
+        clean = (f"{clean_matched}/{clean_total}" if split is not None
+                 else None)
+        return matched, total_gt, total_det, bev_ap(dets, gts), clean
 
     import queue
     import threading
@@ -235,7 +282,8 @@ def main():
         prng = np.random.default_rng(1 + start_step)
         s = start_step
         while s < steps:
-            sel = [int(prng.integers(n)) for _ in range(4)]
+            sel = [train_idx[int(prng.integers(len(train_idx)))]
+                   for _ in range(4)]
             b = len(sel)
             pts = np.zeros((b, subsample, 4), np.float32)
             pv = np.zeros((b, subsample), bool)
@@ -291,13 +339,15 @@ def main():
         if not losses:
             losses.append(float(m["loss"]))
         save_ckpt()
-        matched, total_gt, total_det, ap = evaluate()
+        matched, total_gt, total_det, ap, clean = evaluate()
         entry = {"step": step, "loss": losses[-1],
                  "mean_loss": float(np.mean(losses)),
                  "recall": f"{matched}/{total_gt}",
                  "precision": (matched / total_det) if total_det else 0.0,
                  "bev_ap_050": ap,
                  "elapsed_s": round(time.time() - t0, 1)}
+        if clean is not None:
+            entry["heldout_clean_recall"] = clean
         report["chunks"].append(entry)
         print(json.dumps(entry), flush=True)
         with open(out_path, "w") as f:

@@ -37,6 +37,11 @@ def _add_common(p, detector: bool = True):
                             "sidecar's scale for msgpack weights)")
         p.add_argument("--conf", type=float, default=None,
                        help="yolo confidence threshold (default 0.25)")
+        p.add_argument("--mask-thr", type=float, default=None,
+                       help="mask binarization threshold (default 0.5 = "
+                            "ultralytics; 0.9 is the sweep-selected "
+                            "serving point for the distilled checkpoints, "
+                            "see examples/quality_knob_sweep.py)")
 
 
 def _build_detector(args, dataset):
@@ -56,6 +61,8 @@ def _build_detector(args, dataset):
         with open(args.weights + ".json") as f:
             scale = _json.load(f).get("scale")
     kw = {} if args.conf is None else {"conf": args.conf}
+    if getattr(args, "mask_thr", None) is not None:
+        kw["mask_threshold"] = args.mask_thr
     det = YoloDetector((dataset.camera.height, dataset.camera.width),
                        YoloConfig(scale=scale or "x"), **kw)
     if is_msgpack:

@@ -56,6 +56,10 @@ class PillarsEvalResult:
     matched: int
     total_gt: int
     total_det: int
+    # bool over the INPUT gt rows (gt_valid order): which GT got matched
+    # -- lets callers slice recall over subsets (e.g. the split's
+    # non-overlapped eval boxes)
+    matched_gt: Optional[np.ndarray] = None
 
     @property
     def recall(self) -> float:
@@ -80,6 +84,7 @@ def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5,
     det_ok = np.asarray(det["valid"])
     gt_ok = np.asarray(gt_valid)
     gt_np = np.asarray(gt_boxes7)
+    matched_full = np.zeros(len(gt_ok), bool)
     if det_ok.any() and gt_ok.any():
         if exact:
             # host twin: ragged shapes here would retrace the jitted op
@@ -99,10 +104,11 @@ def evaluate_bev(det, gt_boxes7, gt_valid, iou_threshold: float = 0.5,
             if iou[d, g] >= iou_threshold and not used[g]:
                 used[g] = True
                 matched += 1
+        matched_full[np.nonzero(gt_ok)[0][used]] = True
     else:
         total_det = int(det_ok.sum())
     return PillarsEvalResult(matched=matched, total_gt=total_gt,
-                             total_det=total_det)
+                             total_det=total_det, matched_gt=matched_full)
 
 
 def load_aggregated_frames(dataset: Kitti360Dataset,
@@ -190,6 +196,155 @@ def cap_points_protected(pts: np.ndarray, boxes7: np.ndarray,
     stride = rest[np.linspace(0, len(rest) - 1, take).astype(np.int64)] \
         if take and len(rest) else np.zeros(0, np.int64)
     return pts[np.sort(np.concatenate([pidx, stride]))[:max_points]]
+
+
+@dataclasses.dataclass
+class FrameSplit:
+    """Held-out train/eval split over the sample's target frames.
+
+    The 20-frame KITTI-360 sample covers a ~500 m loop while the surround
+    pillar grid reaches +-102.4 m, so geographically disjoint splits do
+    not exist; instead the split maximizes ego separation and REPORTS the
+    leakage: ``eval_gt_overlapped`` counts eval GT boxes whose center
+    falls inside the pillar grid of at least one train frame (i.e. the
+    same physical parked car may have been a training target).  Honest
+    held-out numbers quote both recall overall and on the
+    non-overlapped subset.
+    """
+
+    train: List[int]
+    eval: List[int]
+    min_separation_m: float
+    eval_gt_total: int
+    eval_gt_overlapped: int
+    # per eval frame: bool mask over that frame's GT boxes (annotation
+    # order, = load_aggregated_frames' boxes7 order), True where the box
+    # center is inside some train frame's grid footprint
+    overlap_masks: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+
+    def summary(self) -> dict:
+        return {"train": self.train, "eval": self.eval,
+                "min_separation_m": round(self.min_separation_m, 1),
+                "eval_gt_total": self.eval_gt_total,
+                "eval_gt_overlapped": self.eval_gt_overlapped}
+
+
+def ego_positions(dataset: Kitti360Dataset) -> Dict[int, np.ndarray]:
+    """World-frame ego (velodyne origin) position per sample frame."""
+    from lidar_object_detection_tpu.data.poses import (load_pose_table,
+                                                       velo_to_world)
+    table = load_pose_table(dataset.root, dataset.seq)
+    v2r = dataset.transforms.velo_to_rect.astype(np.float64)
+    return {f: velo_to_world(table.lookup(f), v2r)[:3, 3]
+            for f in dataset.frame_ids()}
+
+
+def _gt_centers_world(dataset: Kitti360Dataset, frame_id: int,
+                      pose_table, v2r) -> np.ndarray:
+    """(G, 3) world-frame GT box centers for one frame."""
+    from lidar_object_detection_tpu.data.poses import velo_to_world
+    rec = dataset.load_frame(frame_id, require_image=False)
+    if rec is None or rec.corners_cam0.shape[0] == 0:
+        return np.zeros((0, 3))
+    cam_to_velo = dataset.transforms.cam_to_velo.astype(np.float32)
+    corners_velo = np.asarray(transform_corners(
+        jnp.asarray(rec.corners_cam0.astype(np.float32)),
+        jnp.asarray(cam_to_velo)))
+    centers_velo = corners_velo.mean(axis=1)                    # (G, 3)
+    t = velo_to_world(pose_table.lookup(frame_id), v2r)
+    return centers_velo @ t[:3, :3].T + t[:3, 3]
+
+
+def spatial_split(dataset: Kitti360Dataset,
+                  eval_frames: Optional[Sequence[int]] = None,
+                  n_eval: int = 2,
+                  grid=None) -> FrameSplit:
+    """Pick (or validate) a held-out eval set over the usable frames.
+
+    When ``eval_frames`` is omitted, exhaustively (n_eval <= 3) or
+    greedily selects the eval subset maximizing the minimum ego distance
+    to any train frame.  ``grid`` (default: the surround grid) defines
+    the per-train-frame reach used for the leakage count.
+    """
+    import itertools
+
+    from lidar_object_detection_tpu.data.poses import load_pose_table
+
+    if grid is None:
+        grid = PillarsConfig.kitti360_surround().grid
+    usable = [f for f in dataset.frame_ids()
+              if dataset.load_bboxes_exists(f)]
+    pos = ego_positions(dataset)
+
+    def min_sep(ev):
+        tr = [f for f in usable if f not in ev]
+        return min(float(np.linalg.norm(pos[e] - pos[t]))
+                   for e in ev for t in tr)
+
+    if eval_frames is None:
+        if n_eval <= 3:
+            best = max(itertools.combinations(usable, n_eval), key=min_sep)
+        else:   # greedy farthest-point extension of the best pair
+            best = list(max(itertools.combinations(usable, 2), key=min_sep))
+            while len(best) < n_eval:
+                rest = [f for f in usable if f not in best]
+                best.append(max(rest, key=lambda f: min_sep(best + [f])))
+        eval_frames = sorted(best)
+    else:
+        eval_frames = sorted(eval_frames)
+        unknown = [f for f in eval_frames if f not in usable]
+        if unknown:
+            raise ValueError(f"eval frames without GT boxes: {unknown}")
+    train = [f for f in usable if f not in eval_frames]
+    if not train:
+        raise ValueError("eval set leaves no training frames")
+
+    # leakage: eval GT centers inside any train frame's grid footprint
+    # (checked exactly, in each train frame's velodyne coordinates)
+    from lidar_object_detection_tpu.data.poses import velo_to_world
+    table = load_pose_table(dataset.root, dataset.seq)
+    v2r = dataset.transforms.velo_to_rect.astype(np.float64)
+    train_inv = [np.linalg.inv(velo_to_world(table.lookup(t), v2r))
+                 for t in train]
+    total = overlapped = 0
+    masks: Dict[int, np.ndarray] = {}
+    for e in eval_frames:
+        centers = _gt_centers_world(dataset, e, table, v2r)
+        total += len(centers)
+        m = np.zeros(len(centers), bool)
+        for i, c in enumerate(centers):
+            for tinv in train_inv:
+                lc = tinv[:3, :3] @ c + tinv[:3, 3]
+                if (grid.x_range[0] <= lc[0] <= grid.x_range[1]
+                        and grid.y_range[0] <= lc[1] <= grid.y_range[1]):
+                    m[i] = True
+                    break
+        overlapped += int(m.sum())
+        masks[e] = m
+    return FrameSplit(train=train, eval=list(eval_frames),
+                      min_separation_m=min_sep(eval_frames),
+                      eval_gt_total=total, eval_gt_overlapped=overlapped,
+                      overlap_masks=masks)
+
+
+def pack_frames(frames: Sequence, num_points: int, max_gt: int = MAX_GT):
+    """Fixed-shape batch arrays from a list of (points, boxes7) frames:
+    (pts (B,P,4), pv (B,P), gt (B,G,7), gcls (B,G) int32, gv (B,G))."""
+    n = len(frames)
+    pts = np.zeros((n, num_points, 4), np.float32)
+    pv = np.zeros((n, num_points), bool)
+    gt = np.zeros((n, max_gt, 7), np.float32)
+    gcls = np.zeros((n, max_gt), np.int32)
+    gv = np.zeros((n, max_gt), bool)
+    for j, (p, bx) in enumerate(frames):
+        k = min(len(p), num_points)
+        pts[j, :k] = p[:k]
+        pv[j, :k] = True
+        g = min(len(bx), max_gt)
+        gt[j, :g] = bx[:g]
+        gv[j, :g] = True
+    return pts, pv, gt, gcls, gv
 
 
 def bev_average_precision(dets, gts, iou_threshold: float = 0.5) -> float:

@@ -215,3 +215,33 @@ def test_fast_masks_close_to_f32():
     assert diff / total < 0.02, f"{diff}/{total} pixels differ"
     # the bulk of both masks agrees
     assert (slow == fast).mean() > 0.98
+
+
+def test_mask_threshold_monotone_and_default():
+    """mask_threshold: higher threshold yields strictly-nested (shrinking)
+    masks; the default 0.5 reproduces the original path bit-for-bit."""
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _assemble_masks)
+
+    rng = np.random.default_rng(1)
+    spec = LetterboxSpec.build(376, 1408, 640)
+    protos = jnp.asarray(rng.normal(size=(48, 160, 32)).astype(np.float32))
+    coef = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    boxes = jnp.asarray(np.array([[100, 50, 600, 300], [700, 100, 1300, 350],
+                                  [0, 0, 1408, 376], [200, 200, 400, 340]],
+                                 np.float32))
+    valid = jnp.ones(4, bool)
+    base = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec))
+    explicit = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                          threshold=0.5))
+    np.testing.assert_array_equal(base, explicit)
+
+    prev = base
+    for thr in (0.7, 0.9, 0.99):
+        cur = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                         threshold=thr))
+        # nested: every set bit at the higher threshold was set before
+        assert np.all((cur & ~prev) == 0), f"threshold {thr} grew a mask"
+        assert (cur != 0).sum() < (prev != 0).sum(), \
+            f"threshold {thr} did not shrink the masks"
+        prev = cur
