@@ -353,8 +353,31 @@ def extra_stream(ctx: BenchContext) -> dict:
             "stream_reps": reps}
 
 
+def extra_quality(ctx: BenchContext) -> dict:
+    # driver-verifiable QUALITY headline: the full erosion study behind
+    # the committed x-scale checkpoint at the sweep-selected serving
+    # point (mask_threshold 0.9, examples/quality_knob_sweep.py) --
+    # reference workbook aggregate: 74.48 % mean inside eroded
+    # (master_car_statistics.csv.xlsx, Ero_vs_NoERo G2)
+    from lidar_object_detection_tpu.eval.erosion_study import \
+        run_erosion_study
+    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+    from lidar_object_detection_tpu.models.yolo.model import YoloConfig
+
+    det = YoloDetector((376, 1408), YoloConfig(scale=ctx.scale),
+                       variables=ctx.variables, mask_threshold=0.9,
+                       max_detections=32)
+    res = run_erosion_study(KITTI_ROOT, detector=det)
+    s = res.summary()
+    return {"quality_mean_inside_pct_eroded": s["mean_inside_pct_eroded"],
+            "quality_matched_cars": s["matched_cars"],
+            "quality_vs_reference_74_48":
+                round(s["mean_inside_pct_eroded"] / 74.48, 4)}
+
+
 EXTRAS = {"learned_ckpt": extra_learned_ckpt,
           "exact_masks": extra_exact_masks,
+          "quality": extra_quality,
           "stream": extra_stream}
 
 
@@ -410,11 +433,24 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
+    cpu_fallback = False
     try:
         _wait_for_backend()
     except RuntimeError as e:
-        _emit({"error": str(e)})
-        sys.exit(1)
+        if os.environ.get("BENCH_CPU_FALLBACK", "1") == "0":
+            _emit({"error": str(e)})
+            sys.exit(1)
+        # TPU relay down (rounds 3-4 lost ALL driver evidence to this):
+        # run the identical pipeline on CPU, loudly labeled.  The perf
+        # number is meaningless vs the 500 f/s TPU baseline, but the
+        # quality extra (erosion study vs the reference's 74.48) is
+        # hardware-independent and stays driver-verifiable.
+        print(f"bench: TPU backend unavailable ({e}); falling back to "
+              "CPU with 1 replica / 1 iter", file=sys.stderr)
+        cpu_fallback = True
+        os.environ["LIDAR_TPU_PLATFORM"] = "cpu"   # extras inherit
+        os.environ.setdefault("BENCH_REPLICAS", "1")
+        os.environ.setdefault("BENCH_ITERS", "1")
 
     _select_platform()
     ctx = BenchContext()
@@ -424,12 +460,14 @@ def main():
     # build the record locally, then publish with one reference assignment
     # so the watchdog thread can never observe a partial headline
     global _HEADLINE
+    tag = ", CPU-FALLBACK: relay down" if cpu_fallback else ""
     _HEADLINE = {
         "metric": (f"kitti360_e2e_frames_per_sec_per_chip"
-                   f"(yolo11{ctx.scale}-seg+fusion)"),
+                   f"(yolo11{ctx.scale}-seg+fusion{tag})"),
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "platform": ctx.jax.default_backend(),
     }
     # the headline can never be lost to anything that happens below
     _emit(_headline_record())

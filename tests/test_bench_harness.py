@@ -82,3 +82,56 @@ def test_extras_budget_skips(monkeypatch):
     extra = {}
     bench._run_extras_subprocess(extra)
     assert all(extra[f"{n}_skipped"] == "budget" for n in bench.EXTRAS)
+
+
+def test_cpu_fallback_on_backend_failure(monkeypatch):
+    """A dead relay must not cost the round's evidence: the headline runs
+    on CPU, loudly labeled, and extras inherit the CPU pin."""
+    monkeypatch.setattr(bench, "_wait_for_backend",
+                        lambda: (_ for _ in ()).throw(RuntimeError("down")))
+    monkeypatch.setattr(bench, "_run_extras_subprocess", lambda extra: None)
+
+    class _Ctx:
+        scale = "x"
+        variables = None
+        wpath = "none"
+
+        def __init__(self):
+            import jax
+            self.jax = jax
+
+        def make_detector(self, *a, **k):
+            return None
+
+        def timed_e2e(self, det):
+            return 7.0
+
+    monkeypatch.setattr(bench, "BenchContext", _Ctx)
+    monkeypatch.setenv("BENCH_CPU_FALLBACK", "1")
+    monkeypatch.delenv("BENCH_REPLICAS", raising=False)
+    monkeypatch.delenv("LIDAR_TPU_PLATFORM", raising=False)  # restored
+    import io
+    import sys as _sys
+    buf = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", buf)
+    monkeypatch.setattr(_sys, "argv", ["bench.py"])
+    bench.main()
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert any("CPU-FALLBACK" in r.get("metric", "") for r in lines)
+    assert lines[0]["value"] == 7.0
+    assert os.environ["LIDAR_TPU_PLATFORM"] == "cpu"
+    assert os.environ["BENCH_REPLICAS"] == "1"
+
+
+def test_cpu_fallback_disabled(monkeypatch):
+    monkeypatch.setattr(bench, "_wait_for_backend",
+                        lambda: (_ for _ in ()).throw(RuntimeError("down")))
+    monkeypatch.setenv("BENCH_CPU_FALLBACK", "0")
+    import io
+    import sys as _sys
+    buf = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", buf)
+    monkeypatch.setattr(_sys, "argv", ["bench.py"])
+    with pytest.raises(SystemExit):
+        bench.main()
+    assert "down" in json.loads(buf.getvalue().strip())["error"]
