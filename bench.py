@@ -451,6 +451,7 @@ def main():
         os.environ["LIDAR_TPU_PLATFORM"] = "cpu"   # extras inherit
         os.environ.setdefault("BENCH_REPLICAS", "1")
         os.environ.setdefault("BENCH_ITERS", "1")
+        os.environ.setdefault("BENCH_STREAM_REPS", "1")
 
     _select_platform()
     ctx = BenchContext()

@@ -34,11 +34,19 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Probe the DEFAULT backend -- the axon TPU plugin the image's
+# sitecustomize registers, i.e. the exact path bench.py and the runbook
+# serve through.  (Pinning jax_platforms='tpu' probes a different init
+# path that can fail fast while the axon plugin hangs, or vice versa.)
+# The sick relay can hang the first device op, hence the subprocess +
+# hard timeout around this.  A cpu default means the TPU plugin is
+# absent -- that is a DOWN verdict, not a trigger.
 PROBE_CODE = (
-    "import jax; jax.config.update('jax_platforms', 'tpu'); "
-    "import jax.numpy as jnp; "
+    "import jax, jax.numpy as jnp; "
     "x = float(jnp.ones(()).sum()); "
-    "print('PROBE_OK', jax.default_backend())")
+    "b = jax.default_backend(); "
+    "assert b != 'cpu', 'default backend is cpu (no TPU plugin)'; "
+    "print('PROBE_OK', b)")
 
 
 def default_probe_argv() -> list[str]:
