@@ -37,7 +37,9 @@ KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
 
 
 def build_detector(ckpt: str, conf: float = 0.25,
-                   mask_threshold: float = 0.5):
+                   mask_threshold: float | None = None):
+    """``mask_threshold=None`` uses the checkpoint sidecar's recorded
+    serving point (quality_knob_sweep), falling back to ultralytics' 0.5."""
     import jax.numpy as jnp
     from flax import serialization
 
@@ -47,7 +49,13 @@ def build_detector(ckpt: str, conf: float = 0.25,
     scale = "n"
     if os.path.exists(ckpt + ".json"):
         with open(ckpt + ".json") as f:
-            scale = json.load(f).get("scale", "n")
+            meta = json.load(f)
+        scale = meta.get("scale", "n")
+        if mask_threshold is None:
+            mask_threshold = float(
+                meta.get("serving", {}).get("mask_threshold", 0.5))
+    if mask_threshold is None:
+        mask_threshold = 0.5
     with open(ckpt, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     det = YoloDetector((376, 1408), YoloConfig(scale=scale),
@@ -62,9 +70,10 @@ def main():
     ap.add_argument("--dataset", default=KITTI)
     ap.add_argument("--out", default="artifacts/learned_detector")
     ap.add_argument("--conf", type=float, default=0.25)
-    ap.add_argument("--mask-thr", type=float, default=0.5,
-                    help="mask binarization threshold (sweep-selected "
-                         "serving point; see quality_knob_sweep.py)")
+    ap.add_argument("--mask-thr", type=float, default=None,
+                    help="mask binarization threshold (default: the "
+                         "checkpoint sidecar's recorded serving point, "
+                         "else 0.5; see quality_knob_sweep.py)")
     ap.add_argument("--depth-map-frames", type=int, nargs="*", default=[100])
     ap.add_argument("--overlay-frames", type=int, nargs="*",
                     default=[100, 2033])
@@ -164,7 +173,7 @@ def main():
 
     payload = {
         "checkpoint": args.ckpt, "ckpt_step": step, "conf": args.conf,
-        "mask_threshold": args.mask_thr,
+        "mask_threshold": detector.params.mask_threshold,
         "erosion_study": summary,
         "csv_eval": run_e.summary(),
         "no_erosion": run_r.summary(),

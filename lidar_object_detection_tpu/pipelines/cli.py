@@ -55,14 +55,24 @@ def _build_detector(args, dataset):
         convert_state_dict, load_state_dict_file)
 
     scale = args.yolo_scale
+    serving = {}
     is_msgpack = bool(args.weights) and args.weights.endswith(".msgpack")
-    if is_msgpack and scale is None and os.path.exists(
-            args.weights + ".json"):
+    if is_msgpack and os.path.exists(args.weights + ".json"):
         with open(args.weights + ".json") as f:
-            scale = _json.load(f).get("scale")
-    kw = {} if args.conf is None else {"conf": args.conf}
+            meta = _json.load(f)
+        scale = scale or meta.get("scale")
+        # sweep-selected serving params recorded by the checkpoint
+        # sidecar (examples/quality_knob_sweep.py); explicit flags win
+        serving = meta.get("serving", {})
+    kw = {}
+    if args.conf is not None:
+        kw["conf"] = args.conf
+    elif "conf" in serving:
+        kw["conf"] = float(serving["conf"])
     if getattr(args, "mask_thr", None) is not None:
         kw["mask_threshold"] = args.mask_thr
+    elif "mask_threshold" in serving:
+        kw["mask_threshold"] = float(serving["mask_threshold"])
     det = YoloDetector((dataset.camera.height, dataset.camera.width),
                        YoloConfig(scale=scale or "x"), **kw)
     if is_msgpack:
