@@ -37,6 +37,16 @@ Extras (merged into a final JSON line; skipped under BENCH_EXTRA=0):
   per-car statistics rows, looped over the sample sequence (the from-disk
   analogue of the reference's cvs_erosion.py:298-379).  Host-bound on this
   1-core box; scales with host cores.
+* quality_mean_inside_pct_eroded -- the full erosion study behind the
+  committed x checkpoint at its recorded serving point (reference
+  workbook: 74.48); hardware-independent, so the quality headline stays
+  driver-verifiable even when the relay is down.
+
+When the TPU backend never initializes, the bench falls back to a CPU
+run (1 replica / 1 iter / 1 stream rep) with the metric labeled
+CPU-FALLBACK and a ``platform`` field -- a labeled low number plus the
+quality extra beats the bare error line that cost rounds 3-4 their
+evidence.  ``BENCH_CPU_FALLBACK=0`` restores fail-hard.
 """
 
 import json
