@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 
 
 def main():
@@ -28,6 +27,11 @@ def main():
     ap.add_argument("dst")
     ap.add_argument("--dtype", default="bfloat16",
                     help="storage dtype for float arrays (bfloat16/float32)")
+    ap.add_argument("--serving-mask-thr", type=float, default=None,
+                    help="record this sweep-selected mask threshold in the "
+                         "exported sidecar's serving block (the CLI and "
+                         "regen_artifacts serve it by default); omitted = "
+                         "keep the source sidecar's serving block if any")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -58,9 +62,22 @@ def main():
     src_sidecar, dst_sidecar = args.src + ".json", args.dst + ".json"
     meta = None
     if os.path.exists(src_sidecar):
-        shutil.copyfile(src_sidecar, dst_sidecar)
-        with open(dst_sidecar) as f:
+        with open(src_sidecar) as f:
             meta = json.load(f)
+        # the training sidecar carries no serving block; without this the
+        # exported checkpoint silently serves at mask_threshold 0.5 and
+        # regresses the sweep-selected quality (quality_knob_sweep.py)
+        if args.serving_mask_thr is not None:
+            meta["serving"] = {
+                "mask_threshold": args.serving_mask_thr,
+                "source": "examples/quality_knob_sweep.py (recorded at "
+                          "export time)"}
+        elif "serving" not in meta:
+            print("WARNING: no serving block in the source sidecar and no "
+                  "--serving-mask-thr given; the export will serve at "
+                  "ultralytics' 0.5 default")
+        with open(dst_sidecar, "w") as f:
+            json.dump(meta, f)
     print(f"{args.src} -> {args.dst}: {len(payload) / 1e6:.1f} MB "
           f"(was {os.path.getsize(args.src) / 1e6:.1f}), "
           f"step {int(np.asarray(raw['step']))}, sidecar {meta}")

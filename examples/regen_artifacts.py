@@ -147,6 +147,13 @@ def main():
     # the reference's Predictions/Seg inventory of ALL 20 frames
     ov_ids = [f for f in args.overlay_frames
               if os.path.exists(ds.image_path(f))]
+    dropped = sorted(set(args.overlay_frames) - set(ov_ids))
+    if dropped:
+        print(f"[regen] WARNING: no image for overlay frames {dropped}; "
+              "skipped", flush=True)
+    if not ov_ids:
+        raise SystemExit("regen: none of the requested overlay frames "
+                         "have images")
     images = np.stack([np.asarray(Image.open(ds.image_path(f)).convert("RGB"))
                        for f in ov_ids])
     det_out = detector.detect(images)

@@ -47,9 +47,19 @@ if [ "${1:-}" = retrain ]; then
       --ckpt /tmp/yolo_x_segw3.msgpack --conf 0.25 \
       --mask-thr 0.5 0.7 0.8 0.9 0.95 --out /tmp/knob_sweep_retrain.json \
       2>&1 | tee "$LOG/4a_sweep.log"
-  BEST_THR=$(python -c "import json; \
-r=json.load(open('/tmp/knob_sweep_retrain.json'))['results']; \
-print(r[0]['mask_threshold'])")
+  # best threshold WITH the matched-cars guard rail (>= 63, the committed
+  # operating point's count) so "best" can't be won by dropping hard
+  # cars; a missing/failed sweep falls back to the committed 0.9
+  BEST_THR=$(python - <<'PY'
+import json
+try:
+    rows = json.load(open("/tmp/knob_sweep_retrain.json"))["results"]
+    ok = [r for r in rows if r["matched_cars"] >= 63] or rows
+    print(ok[0]["mask_threshold"])
+except Exception:
+    print(0.9)
+PY
+)
   echo "=== stage 4b: regen artifacts (mask-thr $BEST_THR) ==="
   timeout 3600 python examples/regen_artifacts.py \
       --ckpt /tmp/yolo_x_segw3.msgpack --out /tmp/artifacts_x_segw3 \

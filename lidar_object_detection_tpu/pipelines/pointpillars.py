@@ -275,6 +275,10 @@ def spatial_split(dataset: Kitti360Dataset,
         grid = PillarsConfig.kitti360_surround().grid
     usable = [f for f in dataset.frame_ids()
               if dataset.load_bboxes_exists(f)]
+    if eval_frames is None and not 0 < n_eval < len(usable):
+        raise ValueError(
+            f"n_eval={n_eval} must leave at least one training frame "
+            f"({len(usable)} usable frames with GT boxes)")
     pos = ego_positions(dataset)
 
     def min_sep(ev):

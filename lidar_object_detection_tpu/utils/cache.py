@@ -9,11 +9,11 @@ executables).  When the cache dir is shared between hosts with different
 CPU features -- as happens when the driver's multichip dryrun runs on a
 different machine than the builder -- a cache hit can deserialize an
 executable compiled for the other host's ISA ("could lead to execution
-errors such as SIGILL", observed in MULTICHIP_r04.json).  So on the CPU
-backend the cache lives in a per-CPU-signature subdirectory keyed by the
-/proc/cpuinfo flags line; TPU executables are not host-CPU-dependent and
-keep the shared directory (warm across hosts, which is what the driver
-bench wants).
+errors such as SIGILL", observed in MULTICHIP_r04.json).  So unless the
+platform is definitely a TPU (tpu/axon), the cache lives in a
+per-CPU-signature subdirectory keyed by the /proc/cpuinfo flags line;
+TPU executables are not host-CPU-dependent and keep the shared
+directory (warm across hosts, which is what the driver bench wants).
 
 Note: XLA:CPU's AOT loader still logs a feature-mismatch ERROR even when
 a host loads an entry it compiled itself -- the compile side records LLVM
@@ -57,13 +57,21 @@ def _effective_platform() -> str:
     return (os.environ.get("JAX_PLATFORMS") or "default").split(",")[0]
 
 
+# platforms whose executables are NOT host-CPU machine code; everything
+# else (cpu, and any ambiguous "default" that may resolve to CPU when no
+# TPU plugin registers) gets the per-host keyed directory -- erring
+# toward keyed costs one cold compile per host, erring toward shared
+# risks loading another host's AOT machine code (SIGILL)
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     cache_dir = path or os.environ.get(
         "LIDAR_TPU_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "lidar_tpu_xla"))
-    if _effective_platform() == "cpu":
+    if _effective_platform() not in _TPU_PLATFORMS:
         cache_dir = os.path.join(cache_dir, f"cpu-{_host_cpu_tag()}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
