@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--conf", type=float, nargs="*", default=[0.25])
     ap.add_argument("--mask-thr", type=float, nargs="*",
                     default=[0.5, 0.6, 0.7, 0.8])
+    ap.add_argument("--upsample", nargs="*", default=["prob"],
+                    choices=["prob", "logit"],
+                    help="mask upsample space(s) to sweep")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu/tpu)")
     args = ap.parse_args()
@@ -112,10 +115,11 @@ def main():
     pipe_ero = FusionPipeline(ds, cfg_ero, det0)
 
     results = []
-    for conf, mthr in itertools.product(args.conf, args.mask_thr):
+    for conf, mthr, ups in itertools.product(args.conf, args.mask_thr,
+                                             args.upsample):
         pp = PostprocessParams(
             spec=spec, conf_threshold=conf, mask_threshold=mthr,
-            max_detections=32)
+            mask_upsample=ups, max_detections=32)
         post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
         t0 = time.time()
         det_out = post(jax.device_put(raw_out))
@@ -123,7 +127,7 @@ def main():
         run_r = pipe_raw.run(detections=detections)
         run_e = pipe_ero.run(detections=detections)
         res = analyze(join_runs(run_r.csv_rows, run_e.csv_rows))
-        row = {"conf": conf, "mask_threshold": mthr,
+        row = {"conf": conf, "mask_threshold": mthr, "upsample": ups,
                **res.summary(), "sweep_s": round(time.time() - t0, 1)}
         results.append(row)
         print(f"[sweep] {json.dumps(row)}", flush=True)

@@ -44,6 +44,7 @@ class YoloDetector:
                  max_detections: int = 32, max_candidates: int = 256,
                  fast_masks: bool = False, fold_weights: bool = False,
                  mask_assembly: str = "xla", mask_threshold: float = 0.5,
+                 mask_upsample: str = "prob",
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.model = Yolo11(cfg, dtype=dtype)
@@ -53,7 +54,8 @@ class YoloDetector:
             spec=self.spec, conf_threshold=conf, iou_threshold=iou,
             class_id=class_id, max_candidates=max_candidates,
             max_detections=max_detections, fast_masks=fast_masks,
-            mask_assembly=mask_assembly, mask_threshold=mask_threshold)
+            mask_assembly=mask_assembly, mask_threshold=mask_threshold,
+            mask_upsample=mask_upsample)
         if variables is None:
             dummy = jnp.zeros((1, self.spec.dst_h, self.spec.dst_w, 3), dtype)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed),

@@ -122,6 +122,12 @@ class PostprocessParams:
     # their confident core -- a serving-side precision/recall knob for the
     # inside-% metric (see examples/quality_knob_sweep.py).
     mask_threshold: float = 0.5
+    # where the bilinear upsample interpolates: "prob" (ultralytics --
+    # sigmoid at proto res, interpolate probabilities) or "logit"
+    # (interpolate logits, threshold at logit(mask_threshold)); logit
+    # space keeps boundaries sharper where logits swing hard across a
+    # proto cell
+    mask_upsample: str = "prob"
     # mask assembly backend: "auto" uses the fused Pallas kernel on TPU
     # (ops/pallas_masks.py -- no (D, H, W) float stack in HBM, exact f32)
     # and the XLA resize elsewhere; "xla" / "pallas" force a backend.
@@ -194,7 +200,7 @@ def postprocess_single(outputs, params: PostprocessParams):
         out["mask_bits"] = _assemble_masks(
             outputs["proto"], det_coef, det_boxes, keep_valid, spec,
             fast=p.fast_masks, impl=p.mask_assembly,
-            threshold=p.mask_threshold)
+            threshold=p.mask_threshold, upsample=p.mask_upsample)
     else:
         out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
     return out
@@ -202,16 +208,24 @@ def postprocess_single(outputs, params: PostprocessParams):
 
 def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
                     fast: bool = False, impl: str = "xla",
-                    threshold: float = 0.5):
+                    threshold: float = 0.5, upsample: str = "prob"):
     """``process_mask_native``: sigmoid(coef @ protos), strip letterbox
     padding at proto resolution, bilinear-resize to the original image,
     crop to each box, threshold (0.5 default) -- emitted as packed uint32
-    bits."""
+    bits.  ``upsample="logit"`` interpolates the logits instead and
+    thresholds at logit(threshold) -- identical at proto-cell centers,
+    sharper in between."""
     mh, mw, nm = protos.shape
     d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
                         protos.astype(jnp.float32))
-    masks = jax.nn.sigmoid(logits)                              # (D, mh, mw)
+    if upsample == "logit":
+        import math
+
+        masks = logits                                          # (D, mh, mw)
+        threshold = math.log(threshold / (1.0 - threshold))
+    else:
+        masks = jax.nn.sigmoid(logits)                          # (D, mh, mw)
 
     # scale_masks: remove padding computed at mask resolution
     gain = min(mh / spec.src_h, mw / spec.src_w)
@@ -224,9 +238,9 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     masks = masks[:, top:bottom, left:right]
 
     use_pallas = False
-    # the fused kernel bakes the 0.5 threshold; non-default thresholds
-    # take the XLA path
-    if impl != "xla" and threshold == 0.5:
+    # the fused kernel bakes prob-space + the 0.5 threshold; other
+    # configurations take the XLA path
+    if impl != "xla" and threshold == 0.5 and upsample == "prob":
         from lidar_object_detection_tpu.ops import pallas_masks
         cropped_h, cropped_w = bottom - top, right - left
         use_pallas = impl == "pallas" or (
