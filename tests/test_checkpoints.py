@@ -80,3 +80,28 @@ def test_pp_ckpt_sidecar_and_structure(path, head):
         None, surround=True, head="center" if head == "ssd" else "ssd")
     with pytest.raises(ValueError):
         load_pillars_variables(path, expect_cfg=wrong)
+
+
+def test_serving_sidecar_resolution():
+    """The committed checkpoints record their sweep-selected serving
+    point, and regen_artifacts' detector builder resolves it (explicit
+    argument still wins)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import regen_artifacts
+
+    for scale in ("n", "x"):
+        with open(f"checkpoints/yolo11{scale}_seg_distill.msgpack.json") as f:
+            meta = json.load(f)
+        assert meta["serving"]["mask_threshold"] == 0.9
+
+    det, step = regen_artifacts.build_detector(
+        "checkpoints/yolo11n_seg_distill.msgpack")
+    assert det.params.mask_threshold == 0.9      # sidecar value
+    det2, _ = regen_artifacts.build_detector(
+        "checkpoints/yolo11n_seg_distill.msgpack", mask_threshold=0.5)
+    assert det2.params.mask_threshold == 0.5     # explicit wins
