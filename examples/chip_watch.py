@@ -86,13 +86,39 @@ def write_trigger(state_dir: str, info: str) -> str:
     return path
 
 
+def _other_watcher_alive(state_dir: str) -> int | None:
+    """PID of another live chip_watch holding this state dir, else None."""
+    pid_path = os.path.join(state_dir, "watch.pid")
+    try:
+        pid = int(open(pid_path).read().strip())
+    except (OSError, ValueError):
+        return None
+    if pid == os.getpid():
+        return None
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().decode(errors="replace")
+    except OSError:
+        return None
+    return pid if "chip_watch" in cmdline else None
+
+
 def watch(interval_s: float, probe_timeout_s: float, max_hours: float,
           cmd: str | None, state_dir: str,
           probe_argv: list[str] | None = None,
           sleep=time.sleep, log=print) -> int:
     """Probe loop.  Returns the runbook's exit code on trigger, 2 if the
-    watch window expired with the chip still down."""
+    watch window expired with the chip still down, 3 if another watcher
+    already holds the state dir (two watchers would fire the runbook
+    twice)."""
     os.makedirs(state_dir, exist_ok=True)
+    other = _other_watcher_alive(state_dir)
+    if other is not None:
+        log(f"[chip_watch] another watcher (pid {other}) holds "
+            f"{state_dir}; refusing to double-watch", flush=True)
+        return 3
+    with open(os.path.join(state_dir, "watch.pid"), "w") as f:
+        f.write(str(os.getpid()))
     deadline = time.monotonic() + max_hours * 3600.0
     attempt = 0
     while time.monotonic() < deadline:

@@ -108,3 +108,35 @@ def test_watch_cmd_rc_propagates(tmp_path):
         cmd="exit 7", state_dir=d, probe_argv=_argv_ok(),
         sleep=lambda _s: None, log=lambda *a, **k: None)
     assert rc == 7
+
+
+def test_watch_refuses_duplicate(tmp_path, monkeypatch):
+    """Two live watchers on one state dir would fire the runbook twice."""
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    # simulate a live chip_watch holding the dir: our own pid, with a
+    # cmdline reader that reports a chip_watch process
+    with open(os.path.join(d, "watch.pid"), "w") as f:
+        f.write("999999999")
+    monkeypatch.setattr(chip_watch, "_other_watcher_alive",
+                        lambda sd: 999999999)
+    rc = chip_watch.watch(
+        interval_s=0.0, probe_timeout_s=1.0, max_hours=1.0,
+        cmd="true", state_dir=d, sleep=lambda _s: None,
+        log=lambda *a, **k: None)
+    assert rc == 3
+
+
+def test_other_watcher_alive_detection(tmp_path):
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    # no pidfile -> None
+    assert chip_watch._other_watcher_alive(d) is None
+    # dead pid -> None
+    with open(os.path.join(d, "watch.pid"), "w") as f:
+        f.write("999999999")
+    assert chip_watch._other_watcher_alive(d) is None
+    # own pid -> None (re-entry after restart with same pid is fine)
+    with open(os.path.join(d, "watch.pid"), "w") as f:
+        f.write(str(os.getpid()))
+    assert chip_watch._other_watcher_alive(d) is None
