@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Leave-one-frame-out cross-validation of the mask-threshold choice.
+
+`examples/quality_knob_sweep.py` selects the serving mask binarization
+threshold (0.9) on the same 19-frame erosion study it is scored on, which
+invites a selection-bias objection against the 76.29 %-vs-74.48 % headline
+(PERFORMANCE.md "Round-5" section).  This script removes that bias:
+
+For each frame f in the study, the threshold is selected using ONLY the
+other frames' per-car rows, then frame f's cars are scored at that
+selected threshold.  The cross-validated aggregate is computed over the
+union of held-out rows — no car ever contributes to the threshold that
+scores it.  Two selection rules are evaluated, mirroring the two points
+the sweep surfaced:
+
+* ``argmax``   — pick the threshold maximizing mean inside-% eroded on
+  the training frames (the 0.99-style pick).
+* ``guarded``  — same, but restricted to thresholds whose matched-car
+  count on the training frames is within --guard (default 2) of the
+  ultralytics-default (0.5) matched count, i.e. the rule that actually
+  chose 0.9 ("margin of matched cars", PERFORMANCE.md).
+
+The expensive network forward runs once (as in the sweep); each grid
+point re-runs only decode/NMS/mask assembly and the two fusion passes.
+Reference protocol throughout: both fusion runs per config, reference
+matching semantics, joined on (frame, car_id) matched-in-both
+(eval/erosion_study.py; reference workbook kept 61/72 rows).
+
+Usage:
+  python examples/quality_threshold_cv.py \
+      --ckpt checkpoints/yolo11x_seg_distill.msgpack --out /tmp/thr_cv.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
+
+
+def select_threshold(rows_by_thr, thresholds, train_frames, rule, guard):
+    """Pick a threshold using only rows whose frame is in train_frames."""
+    def train_rows(thr):
+        return [r for r in rows_by_thr[thr] if r.frame in train_frames]
+
+    candidates = list(thresholds)
+    if rule == "guarded":
+        base = len(train_rows(thresholds[0]))  # grid[0] is the 0.5 default
+        candidates = [t for t in thresholds
+                      if len(train_rows(t)) >= base - guard]
+        if not candidates:
+            candidates = list(thresholds)
+    best, best_mean = candidates[0], -1.0
+    for t in candidates:
+        rows = train_rows(t)
+        if not rows:
+            continue
+        m = float(np.mean([r.inside_pct_eroded for r in rows]))
+        if m > best_mean:
+            best, best_mean = t, m
+    return best
+
+
+def cv_aggregate(rows_by_thr, thresholds, frames, rule, guard):
+    """LOFO: per-fold threshold selection, score held-out frame's rows."""
+    held_rows, picks = [], {}
+    for f in frames:
+        train = set(frames) - {f}
+        thr = select_threshold(rows_by_thr, thresholds, train, rule, guard)
+        picks[f] = thr
+        held_rows.extend(r for r in rows_by_thr[thr] if r.frame == f)
+    mean_ero = float(np.mean([r.inside_pct_eroded for r in held_rows]))
+    mean_raw = float(np.mean([r.inside_pct_raw for r in held_rows]))
+    diffs = [r.inside_pct_diff for r in held_rows]
+    return {
+        "rule": rule,
+        "matched_cars": len(held_rows),
+        "mean_inside_pct_eroded": round(mean_ero, 2),
+        "mean_inside_pct_raw": round(mean_raw, 2),
+        "std_inside_pct_diff": round(float(np.std(diffs, ddof=1)), 2),
+        "fold_picks": {str(f): picks[f] for f in frames},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="checkpoints/yolo11x_seg_distill.msgpack")
+    ap.add_argument("--dataset", default=KITTI)
+    ap.add_argument("--out", default="/tmp/thr_cv.json")
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--mask-thr", type=float, nargs="*",
+                    default=[0.5, 0.6, 0.7, 0.8, 0.85, 0.9, 0.95, 0.99])
+    ap.add_argument("--guard", type=int, default=2,
+                    help="guarded rule: max matched-car drop vs the 0.5 "
+                         "default allowed on the training frames")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from lidar_object_detection_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from lidar_object_detection_tpu.config import (FusionConfig,
+                                                   PipelineVersion)
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.eval.erosion_study import (analyze,
+                                                               join_runs)
+    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+    from lidar_object_detection_tpu.models.yolo.model import YoloConfig
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        PostprocessParams, letterbox_image, postprocess_single)
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+
+    scale = "n"
+    if os.path.exists(args.ckpt + ".json"):
+        with open(args.ckpt + ".json") as f:
+            scale = json.load(f).get("scale", "n")
+    with open(args.ckpt, "rb") as f:
+        variables = serialization.msgpack_restore(f.read())["variables"]
+
+    cfg_raw = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    cfg_ero = FusionConfig.for_version(PipelineVersion.CSV_EVAL)
+    ds = Kitti360Dataset(args.dataset, shapes=cfg_raw.shapes)
+    records = ds.load_frames()
+    batch = ds.make_batch(records)
+    images = ds.load_images(batch)
+    print(f"[cv] {len(records)} frames, ckpt={args.ckpt} ({scale})",
+          flush=True)
+
+    det0 = YoloDetector((376, 1408), YoloConfig(scale=scale),
+                        variables=variables, max_detections=32)
+    spec, model = det0.spec, det0.model
+
+    @jax.jit
+    def forward(variables, images):
+        imgs = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+        lb = jax.vmap(lambda im: letterbox_image(im, spec))(imgs)
+        return model.apply(variables, lb)
+
+    t0 = time.time()
+    raw_out = jax.device_get(forward(det0.variables, jnp.asarray(images)))
+    print(f"[cv] forward pass: {time.time() - t0:.1f}s", flush=True)
+
+    pipe_raw = FusionPipeline(ds, cfg_raw, det0)
+    pipe_ero = FusionPipeline(ds, cfg_ero, det0)
+
+    rows_by_thr, insample = {}, []
+    for mthr in args.mask_thr:
+        pp = PostprocessParams(
+            spec=spec, conf_threshold=args.conf, mask_threshold=mthr,
+            max_detections=32)
+        post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
+        t0 = time.time()
+        det_out = post(jax.device_put(raw_out))
+        detections = {k: np.asarray(v) for k, v in det_out.items()}
+        run_r = pipe_raw.run(detections=detections)
+        run_e = pipe_ero.run(detections=detections)
+        rows = join_runs(run_r.csv_rows, run_e.csv_rows)
+        rows_by_thr[mthr] = rows
+        row = {"mask_threshold": mthr, **analyze(rows).summary(),
+               "config_s": round(time.time() - t0, 1)}
+        insample.append(row)
+        print(f"[cv] {json.dumps(row)}", flush=True)
+
+    frames = sorted({r.frame for rows in rows_by_thr.values() for r in rows})
+    results = [cv_aggregate(rows_by_thr, args.mask_thr, frames, rule,
+                            args.guard)
+               for rule in ("guarded", "argmax")]
+    payload = {"ckpt": args.ckpt, "scale": scale,
+               "reference_mean_inside_pct_eroded": 74.48,
+               "n_frames": len(frames), "thresholds": args.mask_thr,
+               "insample": insample, "cv": results}
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+
+    for res in results:
+        picks = sorted(set(res["fold_picks"].values()))
+        print(f"\n[cv] rule={res['rule']}: mean inside-% eroded "
+              f"{res['mean_inside_pct_eroded']} over {res['matched_cars']} "
+              f"held-out cars (raw {res['mean_inside_pct_raw']}, "
+              f"std {res['std_inside_pct_diff']}); fold picks {picks}")
+    print(f"[cv] reference: 74.48 -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
