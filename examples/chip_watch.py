@@ -106,11 +106,18 @@ def _other_watcher_alive(state_dir: str) -> int | None:
 def watch(interval_s: float, probe_timeout_s: float, max_hours: float,
           cmd: str | None, state_dir: str,
           probe_argv: list[str] | None = None,
-          sleep=time.sleep, log=print) -> int:
+          sleep=time.sleep, log=print,
+          escalate_every: int = 4, escalate_timeout_s: float = 600.0) -> int:
     """Probe loop.  Returns the runbook's exit code on trigger, 2 if the
     watch window expired with the chip still down, 3 if another watcher
     already holds the state dir (two watchers would fire the runbook
-    twice)."""
+    twice).
+
+    Every ``escalate_every``-th probe waits ``escalate_timeout_s`` instead
+    of the base timeout: a RECOVERING relay registers the backend fast but
+    can sit minutes in the first device grant (observed round 5 — probes
+    flipped from fail-fast to hang-at-init), and a fixed short timeout
+    would classify that live-but-warming chip as down forever."""
     os.makedirs(state_dir, exist_ok=True)
     other = _other_watcher_alive(state_dir)
     if other is not None:
@@ -123,8 +130,11 @@ def watch(interval_s: float, probe_timeout_s: float, max_hours: float,
     attempt = 0
     while time.monotonic() < deadline:
         attempt += 1
+        timeout_s = (escalate_timeout_s
+                     if escalate_every and attempt % escalate_every == 0
+                     else probe_timeout_s)
         t0 = time.monotonic()
-        ok, info = probe_once(probe_timeout_s, probe_argv)
+        ok, info = probe_once(timeout_s, probe_argv)
         dt = time.monotonic() - t0
         stamp = datetime.datetime.now().isoformat(timespec="seconds")
         log(f"[chip_watch] {stamp} probe#{attempt} "
@@ -147,6 +157,12 @@ def main() -> int:
                     help="seconds between probes (default 600)")
     ap.add_argument("--probe-timeout", type=float, default=150.0,
                     help="hard per-probe subprocess timeout (default 150)")
+    ap.add_argument("--escalate-every", type=int, default=4,
+                    help="every Nth probe uses the long timeout (0 = "
+                         "never; default 4) to catch a relay that grants "
+                         "its first device slowly while warming up")
+    ap.add_argument("--escalate-timeout", type=float, default=600.0,
+                    help="the long probe timeout (default 600)")
     ap.add_argument("--max-hours", type=float, default=24.0,
                     help="give up after this many hours (default 24)")
     ap.add_argument("--cmd", default="bash examples/tpu_window.sh retrain",
@@ -161,7 +177,9 @@ def main() -> int:
         print(f"[chip_watch] {'UP ' + info if ok else 'down: ' + info}")
         return 0 if ok else 1
     return watch(args.interval, args.probe_timeout, args.max_hours,
-                 args.cmd or None, args.state_dir)
+                 args.cmd or None, args.state_dir,
+                 escalate_every=args.escalate_every,
+                 escalate_timeout_s=args.escalate_timeout)
 
 
 if __name__ == "__main__":

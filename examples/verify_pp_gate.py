@@ -9,6 +9,18 @@ on the 4 eval frames in minutes (TPU) and asserts the gate:
       --head ssd --min-recall 80
 
 Exit code 0 iff recall >= --min-recall (of 102 GT boxes).
+
+Held-out mode (round 5): ``--eval-frames auto`` (or an explicit comma
+list) scores the checkpoint on frames OUTSIDE its training set instead —
+the spatial split's generalization protocol applied post-hoc to a
+committed checkpoint.  Separation and per-box leakage masks are computed
+against the checkpoint's actual training frames (``--frames``, the
+legacy gate's first-N ids), and the report quotes both overall held-out
+recall and ``clean_recall`` over eval boxes whose center never fell
+inside any training frame's pillar grid:
+
+  python examples/verify_pp_gate.py checkpoints/pp_ssd_surround.msgpack \
+      --head ssd --eval-frames auto --platform cpu --min-recall 0
 """
 
 from __future__ import annotations
@@ -30,8 +42,14 @@ def main():
     ap.add_argument("ckpt")
     ap.add_argument("--head", default="ssd", choices=("ssd", "center"))
     ap.add_argument("--frames", type=int, default=4,
-                    help="number of eval target frames (default: the 4 "
-                         "round-2 gate frames)")
+                    help="number of training target frames (default: the "
+                         "4 round-2 gate frames); in --eval-frames mode "
+                         "these define the leakage/separation baseline")
+    ap.add_argument("--eval-frames", default=None,
+                    help="held-out mode: 'auto' (max ego separation from "
+                         "the training frames) or a comma list, e.g. "
+                         "'2903,2939'; default scores the training frames "
+                         "themselves (the legacy overfit gate)")
     ap.add_argument("--max-points", type=int, default=1 << 18)
     ap.add_argument("--protect-in-box", type=int, default=0,
                     help="GT-aware point-cap protection (points/box) for "
@@ -39,8 +57,14 @@ def main():
                          "checkpoint was trained with")
     ap.add_argument("--score-threshold", type=float, default=0.3)
     ap.add_argument("--min-recall", type=int, default=80)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu when the TPU "
+                         "relay is unreachable)")
     args = ap.parse_args()
 
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from lidar_object_detection_tpu.utils.cache import \
         enable_compilation_cache
     enable_compilation_cache()
@@ -51,7 +75,22 @@ def main():
 
     cfg = pp.resolve_pillars_config(None, surround=True, head=args.head)
     ds = Kitti360Dataset(KITTI, shapes=ShapeConfig())
-    ids = ds.frame_ids()[:args.frames]
+    train_ids = ds.frame_ids()[:args.frames]
+
+    split = None
+    if args.eval_frames:
+        ev = (None if args.eval_frames == "auto"
+              else [int(x) for x in args.eval_frames.split(",")])
+        split = pp.spatial_split(ds, eval_frames=ev, grid=cfg.grid,
+                                 train_frames=train_ids)
+        ids = split.eval
+        print(f"held-out eval {ids} vs train {split.train}: "
+              f"min separation {split.min_separation_m:.1f} m, "
+              f"{split.eval_gt_overlapped}/{split.eval_gt_total} eval GT "
+              f"inside a train-frame grid", flush=True)
+    else:
+        ids = train_ids
+
     frames = pp.load_aggregated_frames(ds, ids, grid=cfg.grid,
                                        max_points=args.max_points,
                                        protect_in_box=args.protect_in_box)
@@ -61,7 +100,8 @@ def main():
         score_threshold=args.score_threshold)
 
     matched = total = ndet = 0
-    for det, (_, gt) in zip(dets, frames):
+    clean_matched = clean_total = 0
+    for fid, det, (_, gt) in zip(ids, dets, frames):
         gt7 = np.asarray(gt, np.float32)
         gv = np.ones(len(gt7), bool)
         # infer_pointpillars returns pre-filtered detections (no "valid"
@@ -72,9 +112,18 @@ def main():
         matched += ev.matched
         total += ev.total_gt
         ndet += ev.total_det
+        if split is not None:
+            clean = ~split.overlap_masks[fid][:len(gt7)]
+            clean_total += int(clean.sum())
+            clean_matched += int((ev.matched_gt[:len(clean)] & clean).sum())
     out = {"ckpt": args.ckpt, "head": args.head,
            "recall": f"{matched}/{total}",
            "precision": round(matched / max(ndet, 1), 3)}
+    if split is not None:
+        out.update(mode="heldout", eval_frames=ids,
+                   train_frames=split.train,
+                   min_separation_m=round(split.min_separation_m, 1),
+                   clean_recall=f"{clean_matched}/{clean_total}")
     print(json.dumps(out))
     if matched < args.min_recall:
         print(f"FAIL: recall {matched} < {args.min_recall}", file=sys.stderr)

@@ -259,13 +259,20 @@ def _gt_centers_world(dataset: Kitti360Dataset, frame_id: int,
 def spatial_split(dataset: Kitti360Dataset,
                   eval_frames: Optional[Sequence[int]] = None,
                   n_eval: int = 2,
-                  grid=None) -> FrameSplit:
+                  grid=None,
+                  train_frames: Optional[Sequence[int]] = None) -> FrameSplit:
     """Pick (or validate) a held-out eval set over the usable frames.
 
     When ``eval_frames`` is omitted, exhaustively (n_eval <= 3) or
     greedily selects the eval subset maximizing the minimum ego distance
     to any train frame.  ``grid`` (default: the surround grid) defines
     the per-train-frame reach used for the leakage count.
+
+    ``train_frames`` pins the training set explicitly instead of
+    "everything usable minus eval" — used to score an ALREADY-TRAINED
+    checkpoint against frames it never saw: separation and leakage masks
+    are then computed against the checkpoint's actual training frames
+    (e.g. the legacy 4-frame gate), not a hypothetical 17-frame train.
     """
     import itertools
 
@@ -275,6 +282,13 @@ def spatial_split(dataset: Kitti360Dataset,
         grid = PillarsConfig.kitti360_surround().grid
     usable = [f for f in dataset.frame_ids()
               if dataset.load_bboxes_exists(f)]
+    if train_frames is not None:
+        train_frames = sorted(set(train_frames))
+        unknown = [f for f in train_frames if f not in usable]
+        if unknown:
+            raise ValueError(f"train frames without GT boxes: {unknown}")
+        if not train_frames:
+            raise ValueError("train_frames is empty")
     if eval_frames is None and not 0 < n_eval < len(usable):
         raise ValueError(
             f"n_eval={n_eval} must leave at least one training frame "
@@ -282,17 +296,24 @@ def spatial_split(dataset: Kitti360Dataset,
     pos = ego_positions(dataset)
 
     def min_sep(ev):
-        tr = [f for f in usable if f not in ev]
+        base = train_frames if train_frames is not None else usable
+        tr = [f for f in base if f not in ev]
         return min(float(np.linalg.norm(pos[e] - pos[t]))
                    for e in ev for t in tr)
 
     if eval_frames is None:
+        pool = ([f for f in usable if f not in train_frames]
+                if train_frames is not None else usable)
+        if n_eval > len(pool) - (1 if train_frames is None else 0):
+            raise ValueError(
+                f"n_eval={n_eval} does not fit the candidate pool "
+                f"({len(pool)} frames)")
         if n_eval <= 3:
-            best = max(itertools.combinations(usable, n_eval), key=min_sep)
+            best = max(itertools.combinations(pool, n_eval), key=min_sep)
         else:   # greedy farthest-point extension of the best pair
-            best = list(max(itertools.combinations(usable, 2), key=min_sep))
+            best = list(max(itertools.combinations(pool, 2), key=min_sep))
             while len(best) < n_eval:
-                rest = [f for f in usable if f not in best]
+                rest = [f for f in pool if f not in best]
                 best.append(max(rest, key=lambda f: min_sep(best + [f])))
         eval_frames = sorted(best)
     else:
@@ -300,7 +321,12 @@ def spatial_split(dataset: Kitti360Dataset,
         unknown = [f for f in eval_frames if f not in usable]
         if unknown:
             raise ValueError(f"eval frames without GT boxes: {unknown}")
-    train = [f for f in usable if f not in eval_frames]
+        if train_frames is not None:
+            leak = sorted(set(eval_frames) & set(train_frames))
+            if leak:
+                raise ValueError(f"eval frames also in train set: {leak}")
+    train = (train_frames if train_frames is not None
+             else [f for f in usable if f not in eval_frames])
     if not train:
         raise ValueError("eval set leaves no training frames")
 

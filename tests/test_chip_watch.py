@@ -83,6 +83,35 @@ def test_watch_retries_then_fires(tmp_path, monkeypatch):
     assert len(open(os.path.join(d, "triggered")).readlines()) == 1
 
 
+def test_watch_escalates_probe_timeout(tmp_path, monkeypatch):
+    """Every Nth probe must use the long timeout — a warming relay that
+    takes minutes on its first device grant is only catchable there."""
+    d = str(tmp_path / "state")
+    timeouts = []
+    seq = [(False, "down")] * 5 + [(True, "tpu")]
+
+    def fake_probe(timeout_s, probe_argv=None):
+        timeouts.append(timeout_s)
+        return seq[min(len(timeouts) - 1, len(seq) - 1)]
+
+    monkeypatch.setattr(chip_watch, "probe_once", fake_probe)
+    rc = chip_watch.watch(
+        interval_s=0.0, probe_timeout_s=150.0, max_hours=1.0,
+        cmd="true", state_dir=d, sleep=lambda _s: None,
+        log=lambda *a, **k: None, escalate_every=3,
+        escalate_timeout_s=600.0)
+    assert rc == 0
+    assert timeouts == [150.0, 150.0, 600.0, 150.0, 150.0, 600.0]
+    # escalate_every=0 disables escalation
+    timeouts.clear()
+    rc = chip_watch.watch(
+        interval_s=0.0, probe_timeout_s=150.0, max_hours=1.0,
+        cmd="true", state_dir=str(tmp_path / "s2"), sleep=lambda _s: None,
+        log=lambda *a, **k: None, escalate_every=0,
+        escalate_timeout_s=600.0)
+    assert rc == 0 and 600.0 not in timeouts
+
+
 def test_watch_window_expiry(tmp_path, monkeypatch):
     d = str(tmp_path / "state")
     monkeypatch.setattr(chip_watch, "probe_once",

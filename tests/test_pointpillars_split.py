@@ -46,6 +46,31 @@ def test_spatial_split_explicit_and_leakage(dataset):
     assert 0 < s.eval_gt_overlapped < s.eval_gt_total
 
 
+def test_spatial_split_pinned_train(dataset):
+    # post-hoc protocol: leakage/separation vs the ACTUAL (4-frame)
+    # training set of a committed checkpoint, not usable-minus-eval
+    gate = dataset.frame_ids()[:4]
+    s = pp.spatial_split(dataset, eval_frames=[2903, 2939],
+                         train_frames=gate)
+    assert s.train == sorted(gate)
+    assert s.eval == [2903, 2939]
+    # a 4-frame train footprint can only shrink the leakage vs full train
+    full = pp.spatial_split(dataset, eval_frames=[2903, 2939])
+    assert s.eval_gt_total == full.eval_gt_total
+    assert s.eval_gt_overlapped <= full.eval_gt_overlapped
+    for f in (2903, 2939):
+        assert not np.any(s.overlap_masks[f] & ~full.overlap_masks[f])
+    # auto selection picks from frames outside the pinned train set and
+    # measures separation against the pinned set only
+    auto = pp.spatial_split(dataset, train_frames=gate, n_eval=2)
+    assert not set(auto.eval) & set(gate)
+    assert auto.train == sorted(gate) and auto.min_separation_m > 0
+    with pytest.raises(ValueError):
+        pp.spatial_split(dataset, eval_frames=[gate[0]], train_frames=gate)
+    with pytest.raises(ValueError):
+        pp.spatial_split(dataset, eval_frames=[2903], train_frames=[2717])
+
+
 def test_spatial_split_rejects_bad_eval(dataset):
     with pytest.raises(ValueError):
         pp.spatial_split(dataset, eval_frames=[2717])   # no-bbox frame
