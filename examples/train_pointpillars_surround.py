@@ -49,9 +49,6 @@ from lidar_object_detection_tpu.pipelines.pointpillars import (
 
 
 def main():
-    from lidar_object_detection_tpu.utils.cache import (
-        enable_compilation_cache)
-    enable_compilation_cache()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     steps = int(args[0]) if args else 8000
@@ -62,6 +59,15 @@ def main():
             if f.startswith(f"--{name}="):
                 return cast(f.split("=", 1)[1])
         return default
+
+    # --platform=cpu: pin the backend before first use (the image's
+    # sitecustomize overrides a plain JAX_PLATFORMS env var)
+    platform = flag_val("platform", "", str)
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    from lidar_object_detection_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
 
     subsample = flag_val("subsample", 65536, int)
     fade = flag_val("fade", 0.85, float)
@@ -127,17 +133,24 @@ def main():
     else:
         targets = ds.frame_ids()[:n_frames]
 
+    # cache key: frame ids AND the aggregation knobs — a cache built at a
+    # different max_points/protect level would otherwise load silently
+    # (e.g. a 32k-point smoke cache feeding an 8000-step split run)
+    cache_meta = np.asarray([eval_points, protect_thresh], np.int64)
     cached = None
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
         ids = list(z["ids"]) if "ids" in z else None
-        if ids == targets or (ids is None and split is None):
+        meta = list(z["meta"]) if "meta" in z else None
+        if (ids == targets or (ids is None and split is None)) \
+                and meta == list(cache_meta):
             nf = int(z["n"])
             cached = [(z[f"p{i}"], z[f"b{i}"]) for i in range(nf)]
             print(f"loaded {nf} cached aggregated frames from {cache_path}",
                   flush=True)
         else:
-            print(f"cache {cache_path} is for frames {ids}; rebuilding",
+            print(f"cache {cache_path} is for frames {ids} "
+                  f"meta={meta} (want {list(cache_meta)}); rebuilding",
                   flush=True)
     if cached is not None:
         frames = cached
@@ -149,7 +162,8 @@ def main():
                                            protect_in_box=protect_thresh)
         if cache_path:
             arrs = {"n": np.int32(len(frames)),
-                    "ids": np.asarray(targets, np.int64)}
+                    "ids": np.asarray(targets, np.int64),
+                    "meta": cache_meta}
             for i, (p, b) in enumerate(frames):
                 arrs[f"p{i}"], arrs[f"b{i}"] = p, b
             np.savez(cache_path, **arrs)
