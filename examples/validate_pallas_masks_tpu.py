@@ -59,10 +59,11 @@ def main():
          y1 + rng.uniform(15, 200, (b, 32))], -1).astype(np.float32))
     dv = jnp.asarray(rng.random((b, 32)) > 0.2)
 
-    def run(impl):
+    def run(impl, threshold=0.5):
         fn = jax.jit(jax.vmap(
             lambda p, c, bx, v: _assemble_masks(p, c, bx, v, spec,
-                                                impl=impl)))
+                                                impl=impl,
+                                                threshold=threshold)))
         out = fn(protos, coef, boxes, dv)
         float(out.sum())                    # relay-safe completion barrier
         t0 = time.perf_counter()
@@ -86,7 +87,16 @@ def main():
 
     print(f"[3/3] assembly stage: xla {t_xla:.3f} ms/frame  "
           f"pallas {t_pallas:.3f} ms/frame  ({t_xla / t_pallas:.2f}x)")
-    ok = flips <= 5 * b     # ~ulp-level boundary flips at most
+
+    # the serving operating point (mask_threshold 0.9, PERFORMANCE.md) is
+    # a different compiled constant -- validate it lowers + parity too
+    print("[3b] parity at the 0.9 serving threshold ...")
+    got9, _ = run("pallas", threshold=0.9)
+    ref9, _ = run("xla", threshold=0.9)
+    flips9 = int(np.unpackbits((ref9 ^ got9).view(np.uint8)).sum())
+    print(f"      flipped bits @0.9: {flips9}")
+
+    ok = flips <= 5 * b and flips9 <= 5 * b   # ~ulp-level boundary flips
     print("RESULT:", "OK - flip mask_assembly default to auto"
           if ok else "FAIL - keep xla default")
     return 0 if ok else 1

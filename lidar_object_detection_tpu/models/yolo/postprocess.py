@@ -238,9 +238,10 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     masks = masks[:, top:bottom, left:right]
 
     use_pallas = False
-    # the fused kernel bakes prob-space + the 0.5 threshold; other
-    # configurations take the XLA path
-    if impl != "xla" and threshold == 0.5 and upsample == "prob":
+    # the fused kernel bakes the (already space-transformed) threshold as
+    # a compile-time constant, so it serves both upsample spaces and any
+    # operating point
+    if impl != "xla":
         from lidar_object_detection_tpu.ops import pallas_masks
         cropped_h, cropped_w = bottom - top, right - left
         use_pallas = impl == "pallas" or (
@@ -253,6 +254,7 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
         # only to shrink the XLA path's stack)
         return pallas_masks.pallas_assemble_masks(
             masks, boxes, det_valid, spec.src_h, spec.src_w,
+            threshold=threshold,
             interpret=jax.default_backend() != "tpu")
 
     if fast:

@@ -21,8 +21,9 @@ tile it:
   3. x-interpolates as one (32, mw_c) @ (mw_c, 128) MXU matmul against a
      dense column-weight matrix (two nonzeros per column, like XLA's
      separable resize);
-  4. applies the > 0.5 threshold, the xyxy box crop, and detector
-     validity;
+  4. applies the binarization threshold (a compile-time constant -- 0.5
+     ultralytics-default or the swept serving point, e.g. 0.9), the xyxy
+     box crop, and detector validity;
   5. packs the 32 detection bits with a shift + OR-tree and writes one
      (8, 128) uint32 tile.
 
@@ -53,9 +54,16 @@ COL_TILE = 128
 NUM_BITS = 32
 
 
-def _mask_kernel(mh_c: int, y0_ref, w0_ref, w1_ref, m_ref, wx_ref,
-                 boxes_ref, out_ref):
+def _mask_kernel(mh_c: int, threshold: float, y0_ref, w0_ref, w1_ref, m_ref,
+                 wx_ref, boxes_ref, out_ref):
     """One (ROW_TILE, COL_TILE) packed-output tile.
+
+    ``threshold`` is baked into the compiled kernel as a compile-time
+    constant (it is a serving knob, fixed per detector instance) -- the
+    compare costs the same at any value, so the kernel serves the swept
+    operating point (``PostprocessParams.mask_threshold``, e.g. the 0.9
+    serving default of the committed checkpoints) as well as
+    ultralytics' hardcoded 0.5.
 
     y0/w0/w1: (ROW_TILE,) SMEM -- resize row taps for this tile's rows.
     m_ref:    (mh_c, 32, mw_c) VMEM -- sigmoid masks at proto resolution.
@@ -87,7 +95,7 @@ def _mask_kernel(mh_c: int, y0_ref, w0_ref, w1_ref, m_ref, wx_ref,
 
         yf = (r * ROW_TILE + i).astype(jnp.float32)
         in_y = (yf >= y1) & (yf < y2)                   # (32, 1)
-        binary = (vals > 0.5) & in_x & in_y
+        binary = (vals > threshold) & in_x & in_y
         word = jnp.where(binary, bit_val, jnp.uint32(0))    # (32, COL_TILE)
         # OR-tree over the 32 detection sublanes -> one packed word/pixel
         word = word[0:16] | word[16:32]
@@ -129,17 +137,23 @@ def supported(num_det: int, src_h: int, src_w: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("src_h", "src_w", "interpret"))
+                   static_argnames=("src_h", "src_w", "threshold",
+                                    "interpret"))
 def pallas_assemble_masks(masks_c, boxes, det_valid, src_h: int, src_w: int,
+                          threshold: float = 0.5,
                           interpret: bool = False):
     """Packed (src_h, src_w) uint32 mask image from proto-res sigmoids.
 
     Args:
-      masks_c: (D, mh_c, mw_c) float32 sigmoid masks, letterbox padding
-        already cropped (``_assemble_masks`` steps up to the resize).
+      masks_c: (D, mh_c, mw_c) float32 masks at proto resolution
+        (sigmoid probabilities, or logits when the caller thresholds in
+        logit space), letterbox padding already cropped
+        (``_assemble_masks`` steps up to the resize).
       boxes: (D, 4) xyxy in original-image pixels.
       det_valid: (D,) bool.
       src_h / src_w: original image size (src_h % 8 == 0, src_w % 128 == 0).
+      threshold: static binarization point applied to the interpolated
+        values -- the same compare as the XLA path's ``masks > threshold``.
 
     Returns (src_h, src_w) uint32; bit d = detection d's binary mask --
     bit-compatible with the XLA ``_assemble_masks`` output.
@@ -167,7 +181,7 @@ def pallas_assemble_masks(masks_c, boxes, det_valid, src_h: int, src_w: int,
 
     grid = (src_h // ROW_TILE, src_w // COL_TILE)
     return pl.pallas_call(
-        functools.partial(_mask_kernel, mh_c),
+        functools.partial(_mask_kernel, mh_c, float(threshold)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROW_TILE,), lambda r, c: (r,),

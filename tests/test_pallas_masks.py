@@ -64,6 +64,29 @@ def test_kernel_matches_xla_assembly(rng):
     assert mismatch == 0, f"{mismatch}/{ref.size} packed words differ"
 
 
+@pytest.mark.parametrize("threshold,upsample", [
+    (0.9, "prob"),     # the committed checkpoints' serving point
+    (0.99, "prob"),    # the argmax CV pick
+    (0.9, "logit"),    # logit-space interpolation (threshold at logit(t))
+])
+def test_kernel_matches_xla_at_serving_thresholds(rng, threshold, upsample):
+    """The threshold is a baked compile-time constant, not hardcoded 0.5:
+    the kernel must stay bit-parity with the XLA path at the swept serving
+    operating points (PERFORMANCE.md quality table) in both interpolation
+    spaces."""
+    spec, protos, coef, boxes, det_valid = _random_case(rng)
+    kw = dict(threshold=threshold, upsample=upsample)
+    ref = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="xla", **kw))
+    got = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="pallas", **kw))
+    assert ref.any(), "degenerate case: no bits set"
+    mismatch = int((ref != got).sum())
+    assert mismatch == 0, f"{mismatch}/{ref.size} packed words differ"
+
+
 def test_kernel_fewer_detections_and_all_invalid(rng):
     spec, protos, coef, boxes, det_valid = _random_case(rng, d=7)
     ref = np.asarray(_assemble_masks(
