@@ -232,6 +232,14 @@ class BenchContext:
             with open(self.wpath, "rb") as f:
                 self.variables = serialization.msgpack_restore(
                     f.read())["variables"]
+        # the checkpoint's recorded serving operating point (sidecar
+        # "serving" block, resolved the same way as the CLI/regen --
+        # models/yolo/serving.py), so the measured pipeline really is the
+        # exact serving artifact; a compare constant, zero throughput cost
+        from lidar_object_detection_tpu.models.yolo.serving import \
+            resolve_serving
+        self.serving_thr = (resolve_serving(self.wpath)["mask_threshold"]
+                            if self.variables is not None else 0.5)
 
         # device-resident inputs
         self.d_images = jax.device_put(jnp.asarray(images))
@@ -245,7 +253,7 @@ class BenchContext:
             jnp.asarray(ds.camera.intrinsics, dtype=jnp.float32))
 
     def make_detector(self, scale, variables, fast_masks=None,
-                      mask_assembly=None):
+                      mask_assembly=None, mask_threshold=None):
         jnp = self.jnp
         if fast_masks is None:
             fast_masks = os.environ.get("BENCH_FAST_MASKS", "1") == "1"
@@ -253,11 +261,17 @@ class BenchContext:
             # fused Pallas mask assembly (ops/pallas_masks.py): opt-in
             # until validated on a real chip; then flip the default
             mask_assembly = os.environ.get("BENCH_MASK_ASSEMBLY", "xla")
+        if mask_threshold is None:
+            # the headline checkpoint's sidecar serving point; callers
+            # benching a DIFFERENT checkpoint pass its own resolved value
+            mask_threshold = (self.serving_thr
+                              if variables is self.variables else 0.5)
         return self.YoloDetector(
             (self.cfg.shapes.image_height, self.cfg.shapes.image_width),
             self.YoloConfig(scale=scale), variables=variables,
             max_detections=self.cfg.shapes.max_detections,
             fast_masks=fast_masks, mask_assembly=mask_assembly,
+            mask_threshold=mask_threshold,
             # serving weight prep: BN folded into conv kernels, tree
             # stored bf16 -- removes the per-step f32->bf16 weight stream
             # that profiling showed at ~72% of device time (weights.py)
@@ -319,16 +333,18 @@ def extra_learned_ckpt(ctx: BenchContext) -> dict:
     # serving the committed learned checkpoint (n-scale, real weights --
     # the detector behind artifacts/learned_detector/)
     from flax import serialization
+    from lidar_object_detection_tpu.models.yolo.serving import \
+        resolve_serving
     ckpt = os.environ.get(
         "BENCH_LEARNED_CKPT",
         os.path.join(ROOT, "checkpoints", "yolo11n_seg_distill.msgpack"))
-    with open(ckpt + ".json") as f:
-        lscale = json.load(f).get("scale", "n")
+    serving = resolve_serving(ckpt)
     with open(ckpt, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-    det = ctx.make_detector(lscale, raw["variables"])
+    det = ctx.make_detector(serving["scale"], raw["variables"],
+                            mask_threshold=serving["mask_threshold"])
     return {"learned_ckpt_frames_per_sec": round(ctx.timed_e2e(det), 2),
-            "learned_ckpt_scale": lscale}
+            "learned_ckpt_scale": serving["scale"]}
 
 
 def extra_stream(ctx: BenchContext) -> dict:
@@ -376,11 +392,12 @@ def extra_quality(ctx: BenchContext) -> dict:
     from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
     from lidar_object_detection_tpu.models.yolo.model import YoloConfig
 
-    thr = 0.9
-    if os.path.exists(ctx.wpath + ".json"):
-        with open(ctx.wpath + ".json") as f:
-            thr = float(json.load(f).get("serving", {})
-                        .get("mask_threshold", 0.9))
+    from lidar_object_detection_tpu.models.yolo.serving import \
+        resolve_serving
+    # the shared resolver (0.5 fallback when no serving block) so the
+    # published quality number is measured at exactly the operating point
+    # the CLI/regen would serve for this checkpoint
+    thr = resolve_serving(ctx.wpath, scale=ctx.scale)["mask_threshold"]
     det = YoloDetector((376, 1408), YoloConfig(scale=ctx.scale),
                        variables=ctx.variables, mask_threshold=thr,
                        max_detections=32)
@@ -498,6 +515,7 @@ def main():
     extra_holder["headline_weights"] = (
         os.path.basename(ctx.wpath) if ctx.variables is not None
         else "random_init")
+    extra_holder["headline_mask_threshold"] = ctx.serving_thr
     if os.environ.get("BENCH_EXTRA", "1") == "1":
         _run_extras_subprocess(extra_holder)
     watchdog.cancel()

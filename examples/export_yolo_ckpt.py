@@ -60,22 +60,28 @@ def main():
     os.replace(tmp, args.dst)
 
     src_sidecar, dst_sidecar = args.src + ".json", args.dst + ".json"
-    meta = None
+    meta = {}
     if os.path.exists(src_sidecar):
         with open(src_sidecar) as f:
             meta = json.load(f)
-        # the training sidecar carries no serving block; without this the
-        # exported checkpoint silently serves at mask_threshold 0.5 and
-        # regresses the sweep-selected quality (quality_knob_sweep.py)
-        if args.serving_mask_thr is not None:
-            meta["serving"] = {
-                "mask_threshold": args.serving_mask_thr,
-                "source": "examples/quality_knob_sweep.py (recorded at "
-                          "export time)"}
-        elif "serving" not in meta:
-            print("WARNING: no serving block in the source sidecar and no "
-                  "--serving-mask-thr given; the export will serve at "
-                  "ultralytics' 0.5 default")
+    # the training sidecar carries no serving block; without this the
+    # exported checkpoint silently serves at mask_threshold 0.5 and
+    # regresses the sweep-selected quality (quality_knob_sweep.py).
+    # --serving-mask-thr must be honored even when the SOURCE has no
+    # sidecar at all (a run whose trainer never wrote one).
+    if args.serving_mask_thr is not None:
+        meta["serving"] = {
+            "mask_threshold": args.serving_mask_thr,
+            "source": "examples/quality_knob_sweep.py (recorded at "
+                      "export time)"}
+    elif "serving" not in meta:
+        print("WARNING: no serving block in the source sidecar and no "
+              "--serving-mask-thr given; the export will serve at "
+              "ultralytics' 0.5 default")
+    if "scale" not in meta:
+        print("WARNING: no 'scale' in the sidecar; consumers will assume "
+              "their default scale (models/yolo/serving.py)")
+    if meta:
         with open(dst_sidecar, "w") as f:
             json.dump(meta, f)
     print(f"{args.src} -> {args.dst}: {len(payload) / 1e6:.1f} MB "

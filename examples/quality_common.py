@@ -1,0 +1,93 @@
+"""Shared stage-1 scaffolding for the serving-side quality experiments.
+
+`quality_knob_sweep.py` (in-sample grid sweep) and
+`quality_threshold_cv.py` (leave-one-frame-out validation of the same
+grid) must evaluate every configuration under the IDENTICAL protocol --
+same dataset batch, same single network forward, same decode path, same
+two fusion runs and reference matching semantics -- or their comparison
+in PERFORMANCE.md stops meaning anything.  Both scripts previously
+carried a verbatim copy of this stage; this module is the single copy.
+
+Protocol (reference: cvs_erosion.py:298-379 run twice, V2 vs CSV_EVAL
+configs; workbook kept 61/72 matched rows):
+  1. network forward ONCE over the full sample (the expensive half);
+  2. per configuration: decode/NMS/mask assembly + BOTH fusion runs
+     (raw + eroded) + the matched-in-both join.
+"""
+
+from __future__ import annotations
+
+import time
+from types import SimpleNamespace
+
+
+def prepare_study(ckpt: str, dataset: str, platform: str | None = None,
+                  log=print) -> SimpleNamespace:
+    """Load the checkpoint, build the pipelines, run the forward once."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    from lidar_object_detection_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from lidar_object_detection_tpu.config import (FusionConfig,
+                                                   PipelineVersion)
+    from lidar_object_detection_tpu.data import Kitti360Dataset
+    from lidar_object_detection_tpu.models.yolo.postprocess import \
+        letterbox_image
+    from lidar_object_detection_tpu.models.yolo.serving import \
+        load_serving_checkpoint
+    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
+
+    det0, _, resolved = load_serving_checkpoint(ckpt)
+    cfg_raw = FusionConfig.for_version(PipelineVersion.V2_STATS)
+    cfg_ero = FusionConfig.for_version(PipelineVersion.CSV_EVAL)
+    ds = Kitti360Dataset(dataset, shapes=cfg_raw.shapes)
+    records = ds.load_frames()
+    batch = ds.make_batch(records)
+    images = ds.load_images(batch)
+    spec, model = det0.spec, det0.model
+    log(f"[quality] {len(records)} frames, ckpt={ckpt} "
+        f"({resolved['scale']})", flush=True)
+
+    @jax.jit
+    def forward(variables, images):
+        imgs = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+        lb = jax.vmap(lambda im: letterbox_image(im, spec))(imgs)
+        return model.apply(variables, lb)
+
+    t0 = time.time()
+    raw_out = jax.device_get(forward(det0.variables, jnp.asarray(images)))
+    log(f"[quality] forward pass: {time.time() - t0:.1f}s", flush=True)
+
+    return SimpleNamespace(
+        scale=resolved["scale"], n_frames=len(records), spec=spec,
+        raw_out=raw_out,
+        pipe_raw=FusionPipeline(ds, cfg_raw, det0),
+        pipe_ero=FusionPipeline(ds, cfg_ero, det0))
+
+
+def rows_for(ctx: SimpleNamespace, conf: float, mask_threshold: float,
+             upsample: str = "prob"):
+    """Decode at one configuration and run both fusion passes; returns the
+    matched-in-both joined per-car rows (eval/erosion_study.join_runs)."""
+    import jax
+    import numpy as np
+
+    from lidar_object_detection_tpu.eval.erosion_study import join_runs
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        PostprocessParams, postprocess_single)
+
+    pp = PostprocessParams(
+        spec=ctx.spec, conf_threshold=conf, mask_threshold=mask_threshold,
+        mask_upsample=upsample, max_detections=32)
+    post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
+    det_out = post(jax.device_put(ctx.raw_out))
+    detections = {k: np.asarray(v) for k, v in det_out.items()}
+    run_r = ctx.pipe_raw.run(detections=detections)
+    run_e = ctx.pipe_ero.run(detections=detections)
+    return join_runs(run_r.csv_rows, run_e.csv_rows)

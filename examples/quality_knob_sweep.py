@@ -36,8 +36,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
@@ -58,82 +56,25 @@ def main():
                     help="jax platform override (cpu/tpu)")
     args = ap.parse_args()
 
-    import jax
+    from quality_common import prepare_study, rows_for
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    from lidar_object_detection_tpu.utils.cache import \
-        enable_compilation_cache
-    enable_compilation_cache()
+    from lidar_object_detection_tpu.eval.erosion_study import analyze
 
-    import jax.numpy as jnp
-    from flax import serialization
-
-    from lidar_object_detection_tpu.config import (FusionConfig,
-                                                   PipelineVersion)
-    from lidar_object_detection_tpu.data import Kitti360Dataset
-    from lidar_object_detection_tpu.eval.erosion_study import (analyze,
-                                                               join_runs)
-    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
-    from lidar_object_detection_tpu.models.yolo.model import YoloConfig
-    from lidar_object_detection_tpu.models.yolo.postprocess import (
-        PostprocessParams, letterbox_image, postprocess_single)
-    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
-
-    scale = "n"
-    if os.path.exists(args.ckpt + ".json"):
-        with open(args.ckpt + ".json") as f:
-            scale = json.load(f).get("scale", "n")
-    with open(args.ckpt, "rb") as f:
-        variables = serialization.msgpack_restore(f.read())["variables"]
-
-    cfg_raw = FusionConfig.for_version(PipelineVersion.V2_STATS)
-    cfg_ero = FusionConfig.for_version(PipelineVersion.CSV_EVAL)
-    ds = Kitti360Dataset(args.dataset, shapes=cfg_raw.shapes)
-    records = ds.load_frames()
-    batch = ds.make_batch(records)
-    images = ds.load_images(batch)
-    print(f"[sweep] {len(records)} frames, ckpt={args.ckpt} ({scale})",
-          flush=True)
-
-    det0 = YoloDetector((376, 1408), YoloConfig(scale=scale),
-                        variables=variables, max_detections=32)
-    spec, model = det0.spec, det0.model
-
-    # --- stage 1: network forward ONCE (the expensive half) ---
-    @jax.jit
-    def forward(variables, images):
-        imgs = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
-        lb = jax.vmap(lambda im: letterbox_image(im, spec))(imgs)
-        return model.apply(variables, lb)
-
-    t0 = time.time()
-    raw_out = jax.device_get(forward(det0.variables, jnp.asarray(images)))
-    print(f"[sweep] forward pass: {time.time() - t0:.1f}s", flush=True)
-
-    pipe_raw = FusionPipeline(ds, cfg_raw, det0)
-    pipe_ero = FusionPipeline(ds, cfg_ero, det0)
+    # stage 1 (shared with quality_threshold_cv.py): network forward ONCE
+    ctx = prepare_study(args.ckpt, args.dataset, args.platform)
 
     results = []
     for conf, mthr, ups in itertools.product(args.conf, args.mask_thr,
                                              args.upsample):
-        pp = PostprocessParams(
-            spec=spec, conf_threshold=conf, mask_threshold=mthr,
-            mask_upsample=ups, max_detections=32)
-        post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
         t0 = time.time()
-        det_out = post(jax.device_put(raw_out))
-        detections = {k: np.asarray(v) for k, v in det_out.items()}
-        run_r = pipe_raw.run(detections=detections)
-        run_e = pipe_ero.run(detections=detections)
-        res = analyze(join_runs(run_r.csv_rows, run_e.csv_rows))
+        res = analyze(rows_for(ctx, conf, mthr, ups))
         row = {"conf": conf, "mask_threshold": mthr, "upsample": ups,
                **res.summary(), "sweep_s": round(time.time() - t0, 1)}
         results.append(row)
         print(f"[sweep] {json.dumps(row)}", flush=True)
 
     results.sort(key=lambda r: -r["mean_inside_pct_eroded"])
-    payload = {"ckpt": args.ckpt, "scale": scale,
+    payload = {"ckpt": args.ckpt, "scale": ctx.scale,
                "reference_mean_inside_pct_eroded": 74.48,
                "baseline_row": {"conf": 0.25, "mask_threshold": 0.5},
                "results": results}

@@ -53,7 +53,12 @@ def select_threshold(rows_by_thr, thresholds, train_frames, rule, guard):
 
     candidates = list(thresholds)
     if rule == "guarded":
-        base = len(train_rows(thresholds[0]))  # grid[0] is the 0.5 default
+        # guard baseline: the ultralytics 0.5 default when swept, else
+        # the lowest threshold (lower thresholds keep the most cars) --
+        # NOT positional, so a reordered --mask-thr list can't silently
+        # re-baseline the guard
+        base_thr = 0.5 if 0.5 in thresholds else min(thresholds)
+        base = len(train_rows(base_thr))
         candidates = [t for t in thresholds
                       if len(train_rows(t)) >= base - guard]
         if not candidates:
@@ -104,73 +109,17 @@ def main():
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
-    import jax
+    from quality_common import prepare_study, rows_for
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    from lidar_object_detection_tpu.utils.cache import \
-        enable_compilation_cache
-    enable_compilation_cache()
+    from lidar_object_detection_tpu.eval.erosion_study import analyze
 
-    import jax.numpy as jnp
-    from flax import serialization
-
-    from lidar_object_detection_tpu.config import (FusionConfig,
-                                                   PipelineVersion)
-    from lidar_object_detection_tpu.data import Kitti360Dataset
-    from lidar_object_detection_tpu.eval.erosion_study import (analyze,
-                                                               join_runs)
-    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
-    from lidar_object_detection_tpu.models.yolo.model import YoloConfig
-    from lidar_object_detection_tpu.models.yolo.postprocess import (
-        PostprocessParams, letterbox_image, postprocess_single)
-    from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
-
-    scale = "n"
-    if os.path.exists(args.ckpt + ".json"):
-        with open(args.ckpt + ".json") as f:
-            scale = json.load(f).get("scale", "n")
-    with open(args.ckpt, "rb") as f:
-        variables = serialization.msgpack_restore(f.read())["variables"]
-
-    cfg_raw = FusionConfig.for_version(PipelineVersion.V2_STATS)
-    cfg_ero = FusionConfig.for_version(PipelineVersion.CSV_EVAL)
-    ds = Kitti360Dataset(args.dataset, shapes=cfg_raw.shapes)
-    records = ds.load_frames()
-    batch = ds.make_batch(records)
-    images = ds.load_images(batch)
-    print(f"[cv] {len(records)} frames, ckpt={args.ckpt} ({scale})",
-          flush=True)
-
-    det0 = YoloDetector((376, 1408), YoloConfig(scale=scale),
-                        variables=variables, max_detections=32)
-    spec, model = det0.spec, det0.model
-
-    @jax.jit
-    def forward(variables, images):
-        imgs = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
-        lb = jax.vmap(lambda im: letterbox_image(im, spec))(imgs)
-        return model.apply(variables, lb)
-
-    t0 = time.time()
-    raw_out = jax.device_get(forward(det0.variables, jnp.asarray(images)))
-    print(f"[cv] forward pass: {time.time() - t0:.1f}s", flush=True)
-
-    pipe_raw = FusionPipeline(ds, cfg_raw, det0)
-    pipe_ero = FusionPipeline(ds, cfg_ero, det0)
+    # stage 1 (shared with quality_knob_sweep.py): network forward ONCE
+    ctx = prepare_study(args.ckpt, args.dataset, args.platform)
 
     rows_by_thr, insample = {}, []
     for mthr in args.mask_thr:
-        pp = PostprocessParams(
-            spec=spec, conf_threshold=args.conf, mask_threshold=mthr,
-            max_detections=32)
-        post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
         t0 = time.time()
-        det_out = post(jax.device_put(raw_out))
-        detections = {k: np.asarray(v) for k, v in det_out.items()}
-        run_r = pipe_raw.run(detections=detections)
-        run_e = pipe_ero.run(detections=detections)
-        rows = join_runs(run_r.csv_rows, run_e.csv_rows)
+        rows = rows_for(ctx, args.conf, mthr)
         rows_by_thr[mthr] = rows
         row = {"mask_threshold": mthr, **analyze(rows).summary(),
                "config_s": round(time.time() - t0, 1)}
@@ -181,7 +130,7 @@ def main():
     results = [cv_aggregate(rows_by_thr, args.mask_thr, frames, rule,
                             args.guard)
                for rule in ("guarded", "argmax")]
-    payload = {"ckpt": args.ckpt, "scale": scale,
+    payload = {"ckpt": args.ckpt, "scale": ctx.scale,
                "reference_mean_inside_pct_eroded": 74.48,
                "n_frames": len(frames), "thresholds": args.mask_thr,
                "insample": insample, "cv": results}

@@ -40,28 +40,12 @@ def build_detector(ckpt: str, conf: float = 0.25,
                    mask_threshold: float | None = None):
     """``mask_threshold=None`` uses the checkpoint sidecar's recorded
     serving point (quality_knob_sweep), falling back to ultralytics' 0.5."""
-    import jax.numpy as jnp
-    from flax import serialization
+    from lidar_object_detection_tpu.models.yolo.serving import \
+        load_serving_checkpoint
 
-    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
-    from lidar_object_detection_tpu.models.yolo.model import YoloConfig
-
-    scale = "n"
-    if os.path.exists(ckpt + ".json"):
-        with open(ckpt + ".json") as f:
-            meta = json.load(f)
-        scale = meta.get("scale", "n")
-        if mask_threshold is None:
-            mask_threshold = float(
-                meta.get("serving", {}).get("mask_threshold", 0.5))
-    if mask_threshold is None:
-        mask_threshold = 0.5
-    with open(ckpt, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    det = YoloDetector((376, 1408), YoloConfig(scale=scale),
-                       variables=raw["variables"], conf=conf,
-                       mask_threshold=mask_threshold, max_detections=32)
-    return det, int(np.asarray(raw["step"]))
+    det, step, _ = load_serving_checkpoint(
+        ckpt, conf=conf, mask_threshold=mask_threshold)
+    return det, step
 
 
 def main():

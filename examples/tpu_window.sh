@@ -49,13 +49,14 @@ if [ "${1:-}" = retrain ]; then
       2>&1 | tee "$LOG/4a_sweep.log"
   # best threshold WITH the matched-cars guard rail (>= 63, the committed
   # operating point's count) so "best" can't be won by dropping hard
-  # cars; a missing/failed sweep falls back to the committed 0.9
+  # cars; NO guard-passing row, a missing sweep, or a failed parse all
+  # fall back to the committed 0.9 (never to the unguarded argmax)
   BEST_THR=$(python - <<'PY'
 import json
 try:
     rows = json.load(open("/tmp/knob_sweep_retrain.json"))["results"]
-    ok = [r for r in rows if r["matched_cars"] >= 63] or rows
-    print(ok[0]["mask_threshold"])
+    ok = [r for r in rows if r["matched_cars"] >= 63]
+    print(ok[0]["mask_threshold"] if ok else 0.9)
 except Exception:
     print(0.9)
 PY

@@ -142,8 +142,8 @@ def main():
         z = np.load(cache_path)
         ids = list(z["ids"]) if "ids" in z else None
         meta = list(z["meta"]) if "meta" in z else None
-        if (ids == targets or (ids is None and split is None)) \
-                and meta == list(cache_meta):
+        # caches from before the 'meta' key always rebuild (meta is None)
+        if ids == targets and meta == list(cache_meta):
             nf = int(z["n"])
             cached = [(z[f"p{i}"], z[f"b{i}"]) for i in range(nf)]
             print(f"loaded {nf} cached aggregated frames from {cache_path}",

@@ -215,6 +215,9 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     bits.  ``upsample="logit"`` interpolates the logits instead and
     thresholds at logit(threshold) -- identical at proto-cell centers,
     sharper in between."""
+    if upsample not in ("prob", "logit"):
+        raise ValueError(f"mask_upsample must be 'prob' or 'logit', "
+                         f"got {upsample!r}")
     mh, mw, nm = protos.shape
     d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
@@ -222,6 +225,11 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     if upsample == "logit":
         import math
 
+        if not 0.0 < threshold < 1.0:
+            raise ValueError(
+                f"logit-space interpolation needs mask_threshold in "
+                f"(0, 1), got {threshold} (logit(t) is unbounded at the "
+                f"endpoints)")
         masks = logits                                          # (D, mh, mw)
         threshold = math.log(threshold / (1.0 - threshold))
     else:

@@ -47,34 +47,31 @@ def _add_common(p, detector: bool = True):
 def _build_detector(args, dataset):
     if args.detector == "stub":
         return None
-    import json as _json
-
     from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
     from lidar_object_detection_tpu.models.yolo.model import YoloConfig
+    from lidar_object_detection_tpu.models.yolo.serving import \
+        resolve_serving
     from lidar_object_detection_tpu.models.yolo.weights import (
         convert_state_dict, load_state_dict_file)
 
-    scale = args.yolo_scale
-    serving = {}
     is_msgpack = bool(args.weights) and args.weights.endswith(".msgpack")
-    if is_msgpack and os.path.exists(args.weights + ".json"):
-        with open(args.weights + ".json") as f:
-            meta = _json.load(f)
-        scale = scale or meta.get("scale")
+    if is_msgpack:
         # sweep-selected serving params recorded by the checkpoint
-        # sidecar (examples/quality_knob_sweep.py); explicit flags win
-        serving = meta.get("serving", {})
-    kw = {}
-    if args.conf is not None:
-        kw["conf"] = args.conf
-    elif "conf" in serving:
-        kw["conf"] = float(serving["conf"])
-    if getattr(args, "mask_thr", None) is not None:
-        kw["mask_threshold"] = args.mask_thr
-    elif "mask_threshold" in serving:
-        kw["mask_threshold"] = float(serving["mask_threshold"])
+        # sidecar (examples/quality_knob_sweep.py); explicit flags win --
+        # one shared resolver with bench/regen (models/yolo/serving.py)
+        resolved = resolve_serving(
+            args.weights, scale=args.yolo_scale, conf=args.conf,
+            mask_threshold=getattr(args, "mask_thr", None),
+            default_scale="x")
+    else:
+        resolved = {"scale": args.yolo_scale or "x", "conf": args.conf,
+                    "mask_threshold": getattr(args, "mask_thr", None)
+                    or 0.5}
+    kw = {"mask_threshold": resolved["mask_threshold"]}
+    if resolved["conf"] is not None:
+        kw["conf"] = resolved["conf"]
     det = YoloDetector((dataset.camera.height, dataset.camera.width),
-                       YoloConfig(scale=scale or "x"), **kw)
+                       YoloConfig(scale=resolved["scale"]), **kw)
     if is_msgpack:
         # distilled checkpoint (examples/train_yolo_distill.py)
         from flax import serialization

@@ -230,11 +230,16 @@ class FrameSplit:
                 "eval_gt_overlapped": self.eval_gt_overlapped}
 
 
-def ego_positions(dataset: Kitti360Dataset) -> Dict[int, np.ndarray]:
-    """World-frame ego (velodyne origin) position per sample frame."""
+def ego_positions(dataset: Kitti360Dataset,
+                  table=None) -> Dict[int, np.ndarray]:
+    """World-frame ego (velodyne origin) position per sample frame.
+
+    ``table``: an already-loaded pose table; omitted = parse from disk.
+    """
     from lidar_object_detection_tpu.data.poses import (load_pose_table,
                                                        velo_to_world)
-    table = load_pose_table(dataset.root, dataset.seq)
+    if table is None:
+        table = load_pose_table(dataset.root, dataset.seq)
     v2r = dataset.transforms.velo_to_rect.astype(np.float64)
     return {f: velo_to_world(table.lookup(f), v2r)[:3, 3]
             for f in dataset.frame_ids()}
@@ -293,7 +298,8 @@ def spatial_split(dataset: Kitti360Dataset,
         raise ValueError(
             f"n_eval={n_eval} must leave at least one training frame "
             f"({len(usable)} usable frames with GT boxes)")
-    pos = ego_positions(dataset)
+    table = load_pose_table(dataset.root, dataset.seq)
+    pos = ego_positions(dataset, table)
 
     def min_sep(ev):
         base = train_frames if train_frames is not None else usable
@@ -333,7 +339,6 @@ def spatial_split(dataset: Kitti360Dataset,
     # leakage: eval GT centers inside any train frame's grid footprint
     # (checked exactly, in each train frame's velodyne coordinates)
     from lidar_object_detection_tpu.data.poses import velo_to_world
-    table = load_pose_table(dataset.root, dataset.seq)
     v2r = dataset.transforms.velo_to_rect.astype(np.float64)
     train_inv = [np.linalg.inv(velo_to_world(table.lookup(t), v2r))
                  for t in train]

@@ -95,6 +95,7 @@ def test_cpu_fallback_on_backend_failure(monkeypatch):
         scale = "x"
         variables = None
         wpath = "none"
+        serving_thr = 0.5   # BenchContext resolves this from the sidecar
 
         def __init__(self):
             import jax

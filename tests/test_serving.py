@@ -1,0 +1,99 @@
+"""Serving-checkpoint resolution (models/yolo/serving.py).
+
+One resolver is shared by the CLI, bench.py, regen_artifacts, and the
+quality sweep/CV scripts; these tests pin its precedence contract so a
+consumer-side refactor can't silently reintroduce the drifted-default
+bug (three hand-rolled resolvers disagreeing 0.5 vs 0.9) that this
+module was written to kill.
+"""
+
+import json
+import os
+
+import pytest
+
+from lidar_object_detection_tpu.models.yolo.serving import (
+    load_sidecar, resolve_serving)
+
+
+def _write_ckpt(tmp_path, sidecar=None, name="ckpt.msgpack"):
+    path = os.path.join(tmp_path, name)
+    with open(path, "wb") as f:
+        f.write(b"\x00")  # resolve_serving never reads the payload
+    if sidecar is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(sidecar, f)
+    return path
+
+
+def test_no_sidecar_library_defaults(tmp_path):
+    path = _write_ckpt(tmp_path)
+    assert load_sidecar(path) == {}
+    r = resolve_serving(path)
+    assert r == {"scale": "n", "mask_threshold": 0.5, "conf": None}
+
+
+def test_no_sidecar_default_scale_override(tmp_path):
+    path = _write_ckpt(tmp_path)
+    assert resolve_serving(path, default_scale="x")["scale"] == "x"
+
+
+def test_sidecar_serving_block_wins_over_defaults(tmp_path):
+    path = _write_ckpt(tmp_path, {
+        "scale": "x",
+        "serving": {"mask_threshold": 0.9, "conf": 0.3}})
+    r = resolve_serving(path)
+    assert r == {"scale": "x", "mask_threshold": 0.9, "conf": 0.3}
+
+
+def test_explicit_caller_overrides_win_over_sidecar(tmp_path):
+    path = _write_ckpt(tmp_path, {
+        "scale": "x",
+        "serving": {"mask_threshold": 0.9, "conf": 0.3}})
+    r = resolve_serving(path, scale="n", conf=0.5, mask_threshold=0.75)
+    assert r == {"scale": "n", "mask_threshold": 0.75, "conf": 0.5}
+
+
+def test_sidecar_without_serving_block(tmp_path):
+    # training sidecar: scale only -- threshold falls back to the
+    # ultralytics 0.5 constant, conf stays None (detector default)
+    path = _write_ckpt(tmp_path, {"scale": "s", "step": 123})
+    r = resolve_serving(path)
+    assert r == {"scale": "s", "mask_threshold": 0.5, "conf": None}
+
+
+def test_partial_serving_block(tmp_path):
+    # sweep records only mask_threshold (the common case)
+    path = _write_ckpt(tmp_path, {
+        "scale": "x", "serving": {"mask_threshold": 0.99}})
+    r = resolve_serving(path)
+    assert r["mask_threshold"] == 0.99
+    assert r["conf"] is None
+
+
+def test_values_coerced_to_float(tmp_path):
+    # a hand-edited sidecar may carry strings; consumers feed these
+    # straight into jnp scalars, so the resolver must coerce
+    path = _write_ckpt(tmp_path, {
+        "serving": {"mask_threshold": "0.9", "conf": "0.25"}})
+    r = resolve_serving(path)
+    assert r["mask_threshold"] == pytest.approx(0.9)
+    assert r["conf"] == pytest.approx(0.25)
+
+
+def test_committed_checkpoints_resolve_to_recorded_points():
+    """The committed headline checkpoints carry sweep-selected serving
+    blocks; the resolver must surface them (this is the exact operating
+    point behind the 76.29 artifacts -- PERFORMANCE.md)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("yolo11n_seg_distill.msgpack",
+                 "yolo11x_seg_distill.msgpack"):
+        path = os.path.join(root, "checkpoints", name)
+        if not os.path.exists(path + ".json"):
+            pytest.skip(f"{name} sidecar not committed")
+        r = resolve_serving(path)
+        meta = load_sidecar(path)
+        assert r["scale"] == meta["scale"]
+        if "serving" in meta:
+            assert r["mask_threshold"] == pytest.approx(
+                float(meta["serving"]["mask_threshold"]))
