@@ -72,7 +72,7 @@ def prepare_study(ckpt: str, dataset: str, platform: str | None = None,
 
 
 def rows_for(ctx: SimpleNamespace, conf: float, mask_threshold: float,
-             upsample: str = "prob"):
+             upsample: str = "prob", threshold_mode: str = "absolute"):
     """Decode at one configuration and run both fusion passes; returns the
     matched-in-both joined per-car rows (eval/erosion_study.join_runs)."""
     import jax
@@ -84,7 +84,8 @@ def rows_for(ctx: SimpleNamespace, conf: float, mask_threshold: float,
 
     pp = PostprocessParams(
         spec=ctx.spec, conf_threshold=conf, mask_threshold=mask_threshold,
-        mask_upsample=upsample, max_detections=32)
+        mask_upsample=upsample, mask_threshold_mode=threshold_mode,
+        max_detections=32)
     post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
     det_out = post(jax.device_put(ctx.raw_out))
     detections = {k: np.asarray(v) for k, v in det_out.items()}

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--upsample", nargs="*", default=["prob"],
                     choices=["prob", "logit"],
                     help="mask upsample space(s) to sweep")
+    ap.add_argument("--thr-mode", nargs="*", default=["absolute"],
+                    choices=["absolute", "relative"],
+                    help="threshold application mode(s): absolute cut vs "
+                         "fraction of each instance's peak probability")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu/tpu)")
     args = ap.parse_args()
@@ -64,11 +68,14 @@ def main():
     ctx = prepare_study(args.ckpt, args.dataset, args.platform)
 
     results = []
-    for conf, mthr, ups in itertools.product(args.conf, args.mask_thr,
-                                             args.upsample):
+    for conf, mthr, ups, mode in itertools.product(
+            args.conf, args.mask_thr, args.upsample, args.thr_mode):
+        if mode == "relative" and ups != "prob":
+            continue    # undefined combination (postprocess raises)
         t0 = time.time()
-        res = analyze(rows_for(ctx, conf, mthr, ups))
+        res = analyze(rows_for(ctx, conf, mthr, ups, mode))
         row = {"conf": conf, "mask_threshold": mthr, "upsample": ups,
+               "thr_mode": mode,
                **res.summary(), "sweep_s": round(time.time() - t0, 1)}
         results.append(row)
         print(f"[sweep] {json.dumps(row)}", flush=True)

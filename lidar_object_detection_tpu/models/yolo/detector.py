@@ -45,6 +45,7 @@ class YoloDetector:
                  fast_masks: bool = False, fold_weights: bool = False,
                  mask_assembly: str = "xla", mask_threshold: float = 0.5,
                  mask_upsample: str = "prob",
+                 mask_threshold_mode: str = "absolute",
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.model = Yolo11(cfg, dtype=dtype)
@@ -55,7 +56,8 @@ class YoloDetector:
             class_id=class_id, max_candidates=max_candidates,
             max_detections=max_detections, fast_masks=fast_masks,
             mask_assembly=mask_assembly, mask_threshold=mask_threshold,
-            mask_upsample=mask_upsample)
+            mask_upsample=mask_upsample,
+            mask_threshold_mode=mask_threshold_mode)
         if variables is None:
             dummy = jnp.zeros((1, self.spec.dst_h, self.spec.dst_w, 3), dtype)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed),

@@ -122,6 +122,16 @@ class PostprocessParams:
     # their confident core -- a serving-side precision/recall knob for the
     # inside-% metric (see examples/quality_knob_sweep.py).
     mask_threshold: float = 0.5
+    # how mask_threshold is applied: "absolute" (ultralytics -- one fixed
+    # cut for every instance) or "relative" (cut at threshold x the
+    # detection's own peak in-box probability, so a soft-boundary
+    # instance whose peak never reaches a high absolute cut keeps a mask
+    # instead of vanishing; bilinear upsampling cannot exceed proto-cell
+    # maxima, so the peak is well-defined on the upsampled field).
+    # "relative" requires mask_upsample="prob" (a peak of raw logits has
+    # no comparable scale) and the XLA assembly path (the Pallas kernel
+    # bakes one static threshold).
+    mask_threshold_mode: str = "absolute"
     # where the bilinear upsample interpolates: "prob" (ultralytics --
     # sigmoid at proto res, interpolate probabilities) or "logit"
     # (interpolate logits, threshold at logit(mask_threshold)); logit
@@ -200,7 +210,8 @@ def postprocess_single(outputs, params: PostprocessParams):
         out["mask_bits"] = _assemble_masks(
             outputs["proto"], det_coef, det_boxes, keep_valid, spec,
             fast=p.fast_masks, impl=p.mask_assembly,
-            threshold=p.mask_threshold, upsample=p.mask_upsample)
+            threshold=p.mask_threshold, upsample=p.mask_upsample,
+            threshold_mode=p.mask_threshold_mode)
     else:
         out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
     return out
@@ -208,7 +219,8 @@ def postprocess_single(outputs, params: PostprocessParams):
 
 def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
                     fast: bool = False, impl: str = "xla",
-                    threshold: float = 0.5, upsample: str = "prob"):
+                    threshold: float = 0.5, upsample: str = "prob",
+                    threshold_mode: str = "absolute"):
     """``process_mask_native``: sigmoid(coef @ protos), strip letterbox
     padding at proto resolution, bilinear-resize to the original image,
     crop to each box, threshold (0.5 default) -- emitted as packed uint32
@@ -218,6 +230,21 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     if upsample not in ("prob", "logit"):
         raise ValueError(f"mask_upsample must be 'prob' or 'logit', "
                          f"got {upsample!r}")
+    if threshold_mode not in ("absolute", "relative"):
+        raise ValueError(f"mask_threshold_mode must be 'absolute' or "
+                         f"'relative', got {threshold_mode!r}")
+    if threshold_mode == "relative":
+        if upsample != "prob":
+            raise ValueError(
+                "mask_threshold_mode='relative' needs mask_upsample="
+                "'prob': a fraction of the per-instance peak is only "
+                "meaningful on the [0, 1] probability field")
+        if impl == "pallas":
+            raise ValueError(
+                "mask_threshold_mode='relative' needs the XLA assembly "
+                "path: the Pallas kernel bakes one static threshold "
+                "(ops/pallas_masks.py)")
+        impl = "xla"    # 'auto' falls back: per-instance cut, not static
     mh, mw, nm = protos.shape
     d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
@@ -277,7 +304,15 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     x2 = boxes[:, 2][:, None, None]
     y2 = boxes[:, 3][:, None, None]
     in_box = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
-    binary = (masks > threshold) & in_box & det_valid[:, None, None]
+    if threshold_mode == "relative":
+        # per-instance cut: threshold x that detection's peak in-box
+        # probability (an empty/invalid box peaks at 0, and 0 > 0 is
+        # False, so it still emits no bits)
+        peak = jnp.max(jnp.where(in_box, masks, 0), axis=(1, 2))   # (D,)
+        cut = (threshold * peak)[:, None, None]
+    else:
+        cut = threshold
+    binary = (masks > cut) & in_box & det_valid[:, None, None]
 
     weights = (jnp.uint32(1) << jnp.arange(d, dtype=jnp.uint32))
     return jnp.sum(binary.astype(jnp.uint32) * weights[:, None, None],

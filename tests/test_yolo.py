@@ -245,3 +245,105 @@ def test_mask_threshold_monotone_and_default():
         assert (cur != 0).sum() < (prev != 0).sum(), \
             f"threshold {thr} did not shrink the masks"
         prev = cur
+
+
+def _relative_case(seed=2, coef_scale=1.0):
+    rng = np.random.default_rng(seed)
+    spec = LetterboxSpec.build(376, 1408, 640)
+    protos = jnp.asarray(rng.normal(size=(48, 160, 32)).astype(np.float32))
+    coef = jnp.asarray(
+        (coef_scale * rng.normal(size=(4, 32))).astype(np.float32))
+    boxes = jnp.asarray(np.array([[100, 50, 600, 300], [700, 100, 1300, 350],
+                                  [0, 0, 1408, 376], [200, 200, 400, 340]],
+                                 np.float32))
+    valid = jnp.ones(4, bool)
+    return spec, protos, coef, boxes, valid
+
+
+def test_mask_threshold_relative_keeps_weak_peaks():
+    """mask_threshold_mode='relative': an instance whose peak probability
+    sits below a high absolute cut keeps a mask (cut scales with the peak)
+    instead of vanishing -- the failure mode that costs matched cars at
+    absolute 0.9 (PERFORMANCE.md: 65 -> 63)."""
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _assemble_masks)
+
+    # small coefficients -> soft masks whose peaks stay well under 0.9
+    spec, protos, coef, boxes, valid = _relative_case(coef_scale=0.12)
+    absolute = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                          threshold=0.9))
+    relative = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                          threshold=0.9,
+                                          threshold_mode="relative"))
+    d_abs = np.unique(np.nonzero(absolute)[0] if absolute.any() else [])
+    # every detection keeps bits in relative mode...
+    per_det = [bool((relative & (1 << d)).any()) for d in range(4)]
+    assert all(per_det), f"relative mode emptied a detection: {per_det}"
+    # ...while the absolute 0.9 cut erases at least one of these soft masks
+    per_det_abs = [bool((absolute & (1 << d)).any()) for d in range(4)]
+    assert not all(per_det_abs), \
+        "case degenerate: absolute 0.9 kept every soft mask"
+    del d_abs
+
+
+def test_mask_threshold_relative_matches_absolute_at_peak_product():
+    """For a single instance, relative mode at t equals absolute mode at
+    t x (that instance's in-box peak of the upsampled probability field) --
+    the mode is a per-instance re-parameterization, not a new operator."""
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _assemble_masks)
+
+    spec, protos, coef, boxes, _ = _relative_case()
+    one = jnp.asarray(np.array([True, False, False, False]))
+
+    # reproduce the upsampled field exactly as _assemble_masks builds it
+    logits = jnp.einsum("dn,hwn->dhw", coef, protos)
+    probs = jax.nn.sigmoid(logits)
+    mh, mw = 48, 160
+    gain = min(mh / spec.src_h, mw / spec.src_w)
+    top = int(round((mh - spec.src_h * gain) / 2 - 0.1))
+    left = int(round((mw - spec.src_w * gain) / 2 - 0.1))
+    bottom = mh - int(round((mh - spec.src_h * gain) / 2 + 0.1))
+    right = mw - int(round((mw - spec.src_w * gain) / 2 + 0.1))
+    full = jax.image.resize(probs[:, top:bottom, left:right],
+                            (4, spec.src_h, spec.src_w), "bilinear")
+    x1, y1, x2, y2 = np.asarray(boxes[0])
+    ys, xs = np.arange(spec.src_h), np.arange(spec.src_w)
+    in_box = ((xs[None, :] >= x1) & (xs[None, :] < x2)
+              & (ys[:, None] >= y1) & (ys[:, None] < y2))
+    peak = jnp.max(jnp.where(in_box, full[0], 0))
+
+    t = 0.9
+    rel = np.asarray(_assemble_masks(protos, coef, boxes, one, spec,
+                                     threshold=t, threshold_mode="relative"))
+    # the same f32 product the relative path forms on device
+    cut = float(np.float32(t) * np.asarray(peak, np.float32))
+    absolute = np.asarray(_assemble_masks(protos, coef, boxes, one, spec,
+                                          threshold=cut))
+    np.testing.assert_array_equal(rel, absolute)
+
+
+def test_mask_threshold_relative_monotone_and_validated():
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _assemble_masks)
+
+    spec, protos, coef, boxes, valid = _relative_case()
+    prev = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                      threshold=0.5,
+                                      threshold_mode="relative"))
+    for thr in (0.7, 0.9, 0.99):
+        cur = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                         threshold=thr,
+                                         threshold_mode="relative"))
+        assert np.all((cur & ~prev) == 0), f"relative {thr} grew a mask"
+        prev = cur
+
+    with pytest.raises(ValueError, match="relative"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold_mode="relative", upsample="logit")
+    with pytest.raises(ValueError, match="static threshold"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold_mode="relative", impl="pallas")
+    with pytest.raises(ValueError, match="mask_threshold_mode"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold_mode="bogus")
