@@ -238,8 +238,13 @@ class BenchContext:
         # exact serving artifact; a compare constant, zero throughput cost
         from lidar_object_detection_tpu.models.yolo.serving import \
             resolve_serving
-        self.serving_thr = (resolve_serving(self.wpath)["mask_threshold"]
-                            if self.variables is not None else 0.5)
+        if self.variables is not None:
+            self.serving = resolve_serving(self.wpath)
+        else:
+            self.serving = {"mask_threshold": 0.5,
+                            "mask_threshold_floor": None,
+                            "mask_min_pixels": 0}
+        self.serving_thr = self.serving["mask_threshold"]
 
         # device-resident inputs
         self.d_images = jax.device_put(jnp.asarray(images))
@@ -253,7 +258,8 @@ class BenchContext:
             jnp.asarray(ds.camera.intrinsics, dtype=jnp.float32))
 
     def make_detector(self, scale, variables, fast_masks=None,
-                      mask_assembly=None, mask_threshold=None):
+                      mask_assembly=None, mask_threshold=None,
+                      mask_threshold_floor=None, mask_min_pixels=None):
         jnp = self.jnp
         if fast_masks is None:
             fast_masks = os.environ.get("BENCH_FAST_MASKS", "1") == "1"
@@ -262,16 +268,26 @@ class BenchContext:
             # until validated on a real chip; then flip the default
             mask_assembly = os.environ.get("BENCH_MASK_ASSEMBLY", "xla")
         if mask_threshold is None:
-            # the headline checkpoint's sidecar serving point; callers
-            # benching a DIFFERENT checkpoint pass its own resolved value
-            mask_threshold = (self.serving_thr
-                              if variables is self.variables else 0.5)
+            # the headline checkpoint's sidecar serving point (incl. the
+            # guarded-shrink floor); callers benching a DIFFERENT
+            # checkpoint pass its own resolved values
+            own = variables is self.variables
+            mask_threshold = self.serving_thr if own else 0.5
+            if mask_threshold_floor is None and own:
+                mask_threshold_floor = self.serving["mask_threshold_floor"]
+                mask_min_pixels = self.serving["mask_min_pixels"]
+        if mask_threshold_floor is not None and mask_assembly != "xla":
+            # the fused kernel bakes ONE static threshold; the guarded
+            # floor needs the XLA path (postprocess.py raises otherwise)
+            mask_assembly = "xla"
         return self.YoloDetector(
             (self.cfg.shapes.image_height, self.cfg.shapes.image_width),
             self.YoloConfig(scale=scale), variables=variables,
             max_detections=self.cfg.shapes.max_detections,
             fast_masks=fast_masks, mask_assembly=mask_assembly,
             mask_threshold=mask_threshold,
+            mask_threshold_floor=mask_threshold_floor,
+            mask_min_pixels=mask_min_pixels or 0,
             # serving weight prep: BN folded into conv kernels, tree
             # stored bf16 -- removes the per-step f32->bf16 weight stream
             # that profiling showed at ~72% of device time (weights.py)
@@ -397,9 +413,12 @@ def extra_quality(ctx: BenchContext) -> dict:
     # the shared resolver (0.5 fallback when no serving block) so the
     # published quality number is measured at exactly the operating point
     # the CLI/regen would serve for this checkpoint
-    thr = resolve_serving(ctx.wpath, scale=ctx.scale)["mask_threshold"]
+    sv = resolve_serving(ctx.wpath, scale=ctx.scale)
+    thr = sv["mask_threshold"]
     det = YoloDetector((376, 1408), YoloConfig(scale=ctx.scale),
                        variables=ctx.variables, mask_threshold=thr,
+                       mask_threshold_floor=sv["mask_threshold_floor"],
+                       mask_min_pixels=sv["mask_min_pixels"],
                        max_detections=32)
     res = run_erosion_study(KITTI_ROOT, detector=det)
     s = res.summary()
@@ -407,6 +426,8 @@ def extra_quality(ctx: BenchContext) -> dict:
             "quality_matched_cars": s["matched_cars"],
             "quality_ckpt": os.path.basename(ctx.wpath),
             "quality_mask_threshold": thr,
+            "quality_mask_threshold_floor": sv["mask_threshold_floor"],
+            "quality_mask_min_pixels": sv["mask_min_pixels"],
             "quality_vs_reference_74_48":
                 round(s["mean_inside_pct_eroded"] / 74.48, 4)}
 

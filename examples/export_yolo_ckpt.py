@@ -32,6 +32,12 @@ def main():
                          "exported sidecar's serving block (the CLI and "
                          "regen_artifacts serve it by default); omitted = "
                          "keep the source sidecar's serving block if any")
+    ap.add_argument("--serving-mask-floor", type=float, default=None,
+                    help="record a guarded-shrink floor threshold in the "
+                         "serving block (with --serving-mask-min-pixels)")
+    ap.add_argument("--serving-mask-min-pixels", type=int, default=None,
+                    help="record the guarded-shrink pixel guard in the "
+                         "serving block")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -74,6 +80,11 @@ def main():
             "mask_threshold": args.serving_mask_thr,
             "source": "examples/quality_knob_sweep.py (recorded at "
                       "export time)"}
+        if args.serving_mask_floor is not None:
+            meta["serving"]["mask_threshold_floor"] = \
+                args.serving_mask_floor
+            meta["serving"]["mask_min_pixels"] = \
+                args.serving_mask_min_pixels or 0
     elif "serving" not in meta:
         print("WARNING: no serving block in the source sidecar and no "
               "--serving-mask-thr given; the export will serve at "

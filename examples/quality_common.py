@@ -72,7 +72,8 @@ def prepare_study(ckpt: str, dataset: str, platform: str | None = None,
 
 
 def rows_for(ctx: SimpleNamespace, conf: float, mask_threshold: float,
-             upsample: str = "prob", threshold_mode: str = "absolute"):
+             upsample: str = "prob", threshold_mode: str = "absolute",
+             floor: float | None = None, min_pixels: int = 0):
     """Decode at one configuration and run both fusion passes; returns the
     matched-in-both joined per-car rows (eval/erosion_study.join_runs)."""
     import jax
@@ -85,6 +86,7 @@ def rows_for(ctx: SimpleNamespace, conf: float, mask_threshold: float,
     pp = PostprocessParams(
         spec=ctx.spec, conf_threshold=conf, mask_threshold=mask_threshold,
         mask_upsample=upsample, mask_threshold_mode=threshold_mode,
+        mask_threshold_floor=floor, mask_min_pixels=min_pixels,
         max_detections=32)
     post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
     det_out = post(jax.device_put(ctx.raw_out))

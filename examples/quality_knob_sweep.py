@@ -56,6 +56,11 @@ def main():
                     choices=["absolute", "relative"],
                     help="threshold application mode(s): absolute cut vs "
                          "fraction of each instance's peak probability")
+    ap.add_argument("--guarded-grid", nargs="*", default=[],
+                    metavar="THR:FLOOR:MINPIX",
+                    help="additional guarded-shrink configs (mask_threshold"
+                         "_floor decode mode), e.g. 0.99:0.5:200 -- swept "
+                         "as extra rows alongside the plain grid")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu/tpu)")
     args = ap.parse_args()
@@ -76,6 +81,19 @@ def main():
         res = analyze(rows_for(ctx, conf, mthr, ups, mode))
         row = {"conf": conf, "mask_threshold": mthr, "upsample": ups,
                "thr_mode": mode,
+               **res.summary(), "sweep_s": round(time.time() - t0, 1)}
+        results.append(row)
+        print(f"[sweep] {json.dumps(row)}", flush=True)
+
+    for spec_str in args.guarded_grid:
+        thr_s, floor_s, pix_s = spec_str.split(":")
+        t0 = time.time()
+        res = analyze(rows_for(ctx, args.conf[0], float(thr_s),
+                               floor=float(floor_s),
+                               min_pixels=int(pix_s)))
+        row = {"conf": args.conf[0], "mask_threshold": float(thr_s),
+               "mask_threshold_floor": float(floor_s),
+               "mask_min_pixels": int(pix_s),
                **res.summary(), "sweep_s": round(time.time() - t0, 1)}
         results.append(row)
         print(f"[sweep] {json.dumps(row)}", flush=True)

@@ -47,12 +47,25 @@ KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
 
 
 def select_threshold(rows_by_thr, thresholds, train_frames, rule, guard):
-    """Pick a threshold using only rows whose frame is in train_frames."""
+    """Pick a config using only rows whose frame is in train_frames.
+
+    ``thresholds`` may be plain floats or arbitrary hashable config keys
+    (e.g. ``(thr, floor, min_pixels)`` tuples for the guarded-shrink
+    decode mode); the ``guarded`` rule's 0.5 baseline applies to float
+    grids only, ``argmax``/``coverage`` work for any key type."""
     def train_rows(thr):
         return [r for r in rows_by_thr[thr] if r.frame in train_frames]
 
     candidates = list(thresholds)
-    if rule == "guarded":
+    if rule == "coverage":
+        # full-coverage rule: only configs that keep the MOST matched
+        # cars on the training frames compete on mean inside-% -- the
+        # rule behind the guarded-shrink serving point (a config may
+        # only win by scoring better, never by dropping hard cars)
+        counts = {t: len(train_rows(t)) for t in thresholds}
+        top = max(counts.values())
+        candidates = [t for t in thresholds if counts[t] == top]
+    elif rule == "guarded":
         # guard baseline: the ultralytics 0.5 default when swept, else
         # the lowest threshold (lower thresholds keep the most cars) --
         # NOT positional, so a reordered --mask-thr list can't silently
@@ -106,6 +119,12 @@ def main():
     ap.add_argument("--guard", type=int, default=2,
                     help="guarded rule: max matched-car drop vs the 0.5 "
                          "default allowed on the training frames")
+    ap.add_argument("--guarded-grid", nargs="*", default=[],
+                    metavar="THR:FLOOR:MINPIX",
+                    help="additional guarded-shrink configs (mask_threshold"
+                         "_floor decode mode), e.g. 0.99:0.5:200; when "
+                         "given, the CV runs over the mixed plain+guarded "
+                         "grid with the coverage and argmax rules")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -116,23 +135,41 @@ def main():
     # stage 1 (shared with quality_knob_sweep.py): network forward ONCE
     ctx = prepare_study(args.ckpt, args.dataset, args.platform)
 
+    # config keys: plain floats, or (thr, floor, min_pixels) label strings
+    # for the mixed grid (keys must be JSON-serializable in fold_picks)
+    configs = list(args.mask_thr)
+    guarded_cfgs = {}
+    for spec_str in args.guarded_grid:
+        thr_s, floor_s, pix_s = spec_str.split(":")
+        key = f"{thr_s}+floor{floor_s}@{pix_s}"
+        guarded_cfgs[key] = (float(thr_s), float(floor_s), int(pix_s))
+        configs.append(key)
+
     rows_by_thr, insample = {}, []
-    for mthr in args.mask_thr:
+    for cfg in configs:
         t0 = time.time()
-        rows = rows_for(ctx, args.conf, mthr)
-        rows_by_thr[mthr] = rows
-        row = {"mask_threshold": mthr, **analyze(rows).summary(),
+        if cfg in guarded_cfgs:
+            thr, floor, pix = guarded_cfgs[cfg]
+            rows = rows_for(ctx, args.conf, thr, floor=floor,
+                            min_pixels=pix)
+        else:
+            rows = rows_for(ctx, args.conf, cfg)
+        rows_by_thr[cfg] = rows
+        row = {"config": cfg, **analyze(rows).summary(),
                "config_s": round(time.time() - t0, 1)}
         insample.append(row)
         print(f"[cv] {json.dumps(row)}", flush=True)
 
     frames = sorted({r.frame for rows in rows_by_thr.values() for r in rows})
-    results = [cv_aggregate(rows_by_thr, args.mask_thr, frames, rule,
-                            args.guard)
-               for rule in ("guarded", "argmax")]
+    # the guarded rule's 0.5 baseline is float-grid-specific; the mixed
+    # grid runs the coverage rule in its place
+    rules = (("coverage", "argmax") if guarded_cfgs
+             else ("guarded", "argmax"))
+    results = [cv_aggregate(rows_by_thr, configs, frames, rule, args.guard)
+               for rule in rules]
     payload = {"ckpt": args.ckpt, "scale": ctx.scale,
                "reference_mean_inside_pct_eroded": 74.48,
-               "n_frames": len(frames), "thresholds": args.mask_thr,
+               "n_frames": len(frames), "thresholds": configs,
                "insample": insample, "cv": results}
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)

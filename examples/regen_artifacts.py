@@ -37,14 +37,18 @@ KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
 
 
 def build_detector(ckpt: str, conf: float = 0.25,
-                   mask_threshold: float | None = None):
+                   mask_threshold: float | None = None,
+                   mask_threshold_floor: float | None = None,
+                   mask_min_pixels: int | None = None):
     """``mask_threshold=None`` uses the checkpoint sidecar's recorded
     serving point (quality_knob_sweep), falling back to ultralytics' 0.5."""
     from lidar_object_detection_tpu.models.yolo.serving import \
         load_serving_checkpoint
 
     det, step, _ = load_serving_checkpoint(
-        ckpt, conf=conf, mask_threshold=mask_threshold)
+        ckpt, conf=conf, mask_threshold=mask_threshold,
+        mask_threshold_floor=mask_threshold_floor,
+        mask_min_pixels=mask_min_pixels)
     return det, step
 
 
@@ -58,6 +62,11 @@ def main():
                     help="mask binarization threshold (default: the "
                          "checkpoint sidecar's recorded serving point, "
                          "else 0.5; see quality_knob_sweep.py)")
+    ap.add_argument("--mask-floor", type=float, default=None,
+                    help="guarded-shrink floor threshold override "
+                         "(default: sidecar serving block)")
+    ap.add_argument("--mask-min-pixels", type=int, default=None,
+                    help="guarded-shrink pixel guard override")
     ap.add_argument("--depth-map-frames", type=int, nargs="*", default=[100])
     ap.add_argument("--overlay-frames", type=int, nargs="*",
                     default=[100, 2033])
@@ -74,7 +83,8 @@ def main():
     enable_compilation_cache()
 
     os.makedirs(args.out, exist_ok=True)
-    detector, step = build_detector(args.ckpt, args.conf, args.mask_thr)
+    detector, step = build_detector(args.ckpt, args.conf, args.mask_thr,
+                                    args.mask_floor, args.mask_min_pixels)
     print(f"[regen] detector from {args.ckpt} (step {step})", flush=True)
 
     # --- 1. erosion study: both fusion runs behind ONE detection pass ---
@@ -165,6 +175,8 @@ def main():
     payload = {
         "checkpoint": args.ckpt, "ckpt_step": step, "conf": args.conf,
         "mask_threshold": detector.params.mask_threshold,
+        "mask_threshold_floor": detector.params.mask_threshold_floor,
+        "mask_min_pixels": detector.params.mask_min_pixels,
         "erosion_study": summary,
         "csv_eval": run_e.summary(),
         "no_erosion": run_r.summary(),

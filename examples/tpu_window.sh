@@ -42,35 +42,44 @@ if [ "${1:-}" = retrain ]; then
       --steps 20000 --scale x --seg-weight 3.0 --lr 2e-3 --ema-decay 0.999 \
       --ckpt /tmp/yolo_x_segw3.msgpack --cache /tmp/yolo_labels2.npz \
       --resume 2>&1 | tee "$LOG/4_retrain.log"
-  echo "=== stage 4a: re-sweep the mask threshold for the NEW weights ==="
+  echo "=== stage 4a: re-sweep the serving point for the NEW weights ==="
   timeout 3600 python examples/quality_knob_sweep.py \
       --ckpt /tmp/yolo_x_segw3.msgpack --conf 0.25 \
-      --mask-thr 0.5 0.7 0.8 0.9 0.95 --out /tmp/knob_sweep_retrain.json \
+      --mask-thr 0.5 0.7 0.8 0.9 0.95 0.99 \
+      --guarded-grid 0.9:0.5:200 0.95:0.5:200 0.99:0.5:200 \
+      --out /tmp/knob_sweep_retrain.json \
       2>&1 | tee "$LOG/4a_sweep.log"
-  # best threshold WITH the matched-cars guard rail (>= 63, the committed
-  # operating point's count) so "best" can't be won by dropping hard
-  # cars; NO guard-passing row, a missing sweep, or a failed parse all
-  # fall back to the committed 0.9 (never to the unguarded argmax)
-  BEST_THR=$(python - <<'PY'
+  # coverage rule (quality_threshold_cv.py): only configs keeping the
+  # MOST matched cars compete on mean inside-%, so "best" can't be won
+  # by dropping hard cars; a missing sweep or failed parse falls back to
+  # the committed serving point (0.99 + floor 0.5 @ 200 px)
+  read -r BEST_THR BEST_FLOOR BEST_PIX <<<"$(python - <<'PY'
 import json
 try:
     rows = json.load(open("/tmp/knob_sweep_retrain.json"))["results"]
-    ok = [r for r in rows if r["matched_cars"] >= 63]
-    print(ok[0]["mask_threshold"] if ok else 0.9)
+    top = max(r["matched_cars"] for r in rows)
+    best = max((r for r in rows if r["matched_cars"] == top),
+               key=lambda r: r["mean_inside_pct_eroded"])
+    print(best["mask_threshold"],
+          best.get("mask_threshold_floor", ""),
+          best.get("mask_min_pixels", ""))
 except Exception:
-    print(0.9)
+    print("0.99 0.5 200")
 PY
-)
-  echo "=== stage 4b: regen artifacts (mask-thr $BEST_THR) ==="
+)"
+  FLOOR_ARGS=""
+  [ -n "$BEST_FLOOR" ] && \
+      FLOOR_ARGS="--mask-floor $BEST_FLOOR --mask-min-pixels $BEST_PIX"
+  echo "=== stage 4b: regen artifacts (mask-thr $BEST_THR $FLOOR_ARGS) ==="
   timeout 3600 python examples/regen_artifacts.py \
       --ckpt /tmp/yolo_x_segw3.msgpack --out /tmp/artifacts_x_segw3 \
-      --mask-thr "$BEST_THR" 2>&1 | tee "$LOG/4b_regen.log"
+      --mask-thr "$BEST_THR" $FLOOR_ARGS 2>&1 | tee "$LOG/4b_regen.log"
   python - <<'PY' | tee "$LOG/4b_verdict.log"
 import json
 s = json.load(open("/tmp/artifacts_x_segw3/summary.json"))
 got = s["erosion_study"]["mean_inside_pct_eroded"]
 ref = 74.48
-best_prev = 76.29   # committed ckpt @ mask-thr 0.9 (round 5)
+best_prev = 76.96   # committed ckpt @ 0.99 + floor 0.5 @ 200 px (round 5)
 print(f"mean inside-% eroded: {got} (ref {ref}, repo best {best_prev})")
 print("VERDICT:", "NEW-BEST" if got > best_prev
       else "BEATS-REFERENCE" if got >= ref else "NO-GAIN")

@@ -46,6 +46,8 @@ class YoloDetector:
                  mask_assembly: str = "xla", mask_threshold: float = 0.5,
                  mask_upsample: str = "prob",
                  mask_threshold_mode: str = "absolute",
+                 mask_threshold_floor: Optional[float] = None,
+                 mask_min_pixels: int = 0,
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.model = Yolo11(cfg, dtype=dtype)
@@ -57,7 +59,9 @@ class YoloDetector:
             max_detections=max_detections, fast_masks=fast_masks,
             mask_assembly=mask_assembly, mask_threshold=mask_threshold,
             mask_upsample=mask_upsample,
-            mask_threshold_mode=mask_threshold_mode)
+            mask_threshold_mode=mask_threshold_mode,
+            mask_threshold_floor=mask_threshold_floor,
+            mask_min_pixels=mask_min_pixels)
         if variables is None:
             dummy = jnp.zeros((1, self.spec.dst_h, self.spec.dst_w, 3), dtype)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed),

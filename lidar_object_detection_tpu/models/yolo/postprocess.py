@@ -132,6 +132,14 @@ class PostprocessParams:
     # no comparable scale) and the XLA assembly path (the Pallas kernel
     # bakes one static threshold).
     mask_threshold_mode: str = "absolute"
+    # guarded shrink: when set, a detection whose mask_threshold cut
+    # leaves fewer than mask_min_pixels pixels falls back to this lower
+    # cut instead of serving a near-empty mask (the failure that unmatches
+    # small cars at high thresholds -- fusion's >=10-LiDAR-point gate,
+    # associate.py).  None = plain single-threshold behavior.  Requires
+    # mask_upsample="prob" and the XLA assembly path.
+    mask_threshold_floor: float | None = None
+    mask_min_pixels: int = 0
     # where the bilinear upsample interpolates: "prob" (ultralytics --
     # sigmoid at proto res, interpolate probabilities) or "logit"
     # (interpolate logits, threshold at logit(mask_threshold)); logit
@@ -211,7 +219,8 @@ def postprocess_single(outputs, params: PostprocessParams):
             outputs["proto"], det_coef, det_boxes, keep_valid, spec,
             fast=p.fast_masks, impl=p.mask_assembly,
             threshold=p.mask_threshold, upsample=p.mask_upsample,
-            threshold_mode=p.mask_threshold_mode)
+            threshold_mode=p.mask_threshold_mode,
+            floor=p.mask_threshold_floor, min_pixels=p.mask_min_pixels)
     else:
         out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
     return out
@@ -220,7 +229,8 @@ def postprocess_single(outputs, params: PostprocessParams):
 def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
                     fast: bool = False, impl: str = "xla",
                     threshold: float = 0.5, upsample: str = "prob",
-                    threshold_mode: str = "absolute"):
+                    threshold_mode: str = "absolute",
+                    floor: float | None = None, min_pixels: int = 0):
     """``process_mask_native``: sigmoid(coef @ protos), strip letterbox
     padding at proto resolution, bilinear-resize to the original image,
     crop to each box, threshold (0.5 default) -- emitted as packed uint32
@@ -245,6 +255,22 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
                 "path: the Pallas kernel bakes one static threshold "
                 "(ops/pallas_masks.py)")
         impl = "xla"    # 'auto' falls back: per-instance cut, not static
+    if floor is not None:
+        if not floor < threshold:
+            raise ValueError(
+                f"mask_threshold_floor ({floor}) must sit below "
+                f"mask_threshold ({threshold}) -- it is the fallback cut "
+                f"for detections the primary cut leaves near-empty")
+        if upsample != "prob":
+            raise ValueError(
+                "mask_threshold_floor needs mask_upsample='prob' (the "
+                "floor compares on the same probability field)")
+        if impl == "pallas":
+            raise ValueError(
+                "mask_threshold_floor needs the XLA assembly path: the "
+                "Pallas kernel bakes one static threshold "
+                "(ops/pallas_masks.py)")
+        impl = "xla"
     mh, mw, nm = protos.shape
     d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
@@ -313,6 +339,13 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     else:
         cut = threshold
     binary = (masks > cut) & in_box & det_valid[:, None, None]
+    if floor is not None:
+        # guarded shrink: detections the primary cut leaves near-empty
+        # (< min_pixels) serve the floor cut instead -- one reduction and
+        # a per-detection select on fields already in registers
+        low = (masks > floor) & in_box & det_valid[:, None, None]
+        keep_hi = jnp.sum(binary, axis=(1, 2)) >= min_pixels      # (D,)
+        binary = jnp.where(keep_hi[:, None, None], binary, low)
 
     weights = (jnp.uint32(1) << jnp.arange(d, dtype=jnp.uint32))
     return jnp.sum(binary.astype(jnp.uint32) * weights[:, None, None],

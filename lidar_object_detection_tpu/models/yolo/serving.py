@@ -40,12 +40,17 @@ def resolve_serving(ckpt_path: str, *,
                     scale: Optional[str] = None,
                     conf: Optional[float] = None,
                     mask_threshold: Optional[float] = None,
+                    mask_threshold_floor: Optional[float] = None,
+                    mask_min_pixels: Optional[int] = None,
                     default_scale: str = "n") -> Dict[str, Any]:
     """Resolved serving config for a checkpoint.
 
-    Returns ``{"scale", "mask_threshold", "conf"}`` where ``conf`` is
-    None when neither the caller nor the sidecar pins one (the detector
-    default applies).
+    Returns ``{"scale", "mask_threshold", "conf", "mask_threshold_floor",
+    "mask_min_pixels"}`` where ``conf`` is None when neither the caller
+    nor the sidecar pins one (the detector default applies).  The floor
+    pair is the guarded-shrink decode mode (PostprocessParams.
+    mask_threshold_floor): None/0 unless the sidecar's serving block or
+    the caller sets it.
     """
     meta = load_sidecar(ckpt_path)
     serving = meta.get("serving", {})
@@ -55,8 +60,19 @@ def resolve_serving(ckpt_path: str, *,
         mask_threshold = float(serving.get("mask_threshold", 0.5))
     if conf is None and "conf" in serving:
         conf = float(serving["conf"])
+    if mask_threshold_floor is None and "mask_threshold_floor" in serving:
+        mask_threshold_floor = float(serving["mask_threshold_floor"])
+    if mask_min_pixels is None:
+        mask_min_pixels = int(serving.get("mask_min_pixels", 0))
+    if (mask_threshold_floor is not None
+            and mask_threshold_floor >= float(mask_threshold)):
+        # an explicit threshold at/below the sidecar's floor implicitly
+        # disables the guarded shrink (a floor only makes sense BELOW the
+        # primary cut -- postprocess.py validates the same invariant)
+        mask_threshold_floor, mask_min_pixels = None, 0
     return {"scale": scale, "mask_threshold": float(mask_threshold),
-            "conf": conf}
+            "conf": conf, "mask_threshold_floor": mask_threshold_floor,
+            "mask_min_pixels": mask_min_pixels}
 
 
 def load_serving_checkpoint(ckpt_path: str,
@@ -65,6 +81,8 @@ def load_serving_checkpoint(ckpt_path: str,
                             scale: Optional[str] = None,
                             conf: Optional[float] = None,
                             mask_threshold: Optional[float] = None,
+                            mask_threshold_floor: Optional[float] = None,
+                            mask_min_pixels: Optional[int] = None,
                             max_detections: int = 32,
                             default_scale: str = "n",
                             **detector_kw):
@@ -84,6 +102,8 @@ def load_serving_checkpoint(ckpt_path: str,
 
     resolved = resolve_serving(ckpt_path, scale=scale, conf=conf,
                                mask_threshold=mask_threshold,
+                               mask_threshold_floor=mask_threshold_floor,
+                               mask_min_pixels=mask_min_pixels,
                                default_scale=default_scale)
     with open(ckpt_path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
@@ -93,5 +113,7 @@ def load_serving_checkpoint(ckpt_path: str,
     det = YoloDetector(image_hw, YoloConfig(scale=resolved["scale"]),
                        variables=raw["variables"],
                        mask_threshold=resolved["mask_threshold"],
+                       mask_threshold_floor=resolved["mask_threshold_floor"],
+                       mask_min_pixels=resolved["mask_min_pixels"],
                        max_detections=max_detections, **kw)
     return det, int(np.asarray(raw["step"])), resolved

@@ -42,6 +42,13 @@ def _add_common(p, detector: bool = True):
                             "ultralytics; 0.9 is the sweep-selected "
                             "serving point for the distilled checkpoints, "
                             "see examples/quality_knob_sweep.py)")
+        p.add_argument("--mask-floor", type=float, default=None,
+                       help="guarded shrink: fallback threshold for "
+                            "detections --mask-thr leaves near-empty "
+                            "(PostprocessParams.mask_threshold_floor)")
+        p.add_argument("--mask-min-pixels", type=int, default=None,
+                       help="guarded shrink: pixel count under which a "
+                            "detection falls back to --mask-floor")
 
 
 def _build_detector(args, dataset):
@@ -62,12 +69,20 @@ def _build_detector(args, dataset):
         resolved = resolve_serving(
             args.weights, scale=args.yolo_scale, conf=args.conf,
             mask_threshold=getattr(args, "mask_thr", None),
+            mask_threshold_floor=getattr(args, "mask_floor", None),
+            mask_min_pixels=getattr(args, "mask_min_pixels", None),
             default_scale="x")
     else:
         resolved = {"scale": args.yolo_scale or "x", "conf": args.conf,
                     "mask_threshold": getattr(args, "mask_thr", None)
-                    or 0.5}
-    kw = {"mask_threshold": resolved["mask_threshold"]}
+                    or 0.5,
+                    "mask_threshold_floor": getattr(args, "mask_floor",
+                                                    None),
+                    "mask_min_pixels": getattr(args, "mask_min_pixels",
+                                               None) or 0}
+    kw = {"mask_threshold": resolved["mask_threshold"],
+          "mask_threshold_floor": resolved["mask_threshold_floor"],
+          "mask_min_pixels": resolved["mask_min_pixels"]}
     if resolved["conf"] is not None:
         kw["conf"] = resolved["conf"]
     det = YoloDetector((dataset.camera.height, dataset.camera.width),

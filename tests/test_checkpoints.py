@@ -94,14 +94,20 @@ def test_serving_sidecar_resolution():
                                     "examples"))
     import regen_artifacts
 
+    # the CV-validated guarded-shrink point (coverage rule, 16/16 fold
+    # picks): primary 0.99, floor 0.5, 200-pixel guard -- PERFORMANCE.md
     for scale in ("n", "x"):
         with open(f"checkpoints/yolo11{scale}_seg_distill.msgpack.json") as f:
             meta = json.load(f)
-        assert meta["serving"]["mask_threshold"] == 0.9
+        assert meta["serving"]["mask_threshold"] == 0.99
+        assert meta["serving"]["mask_threshold_floor"] == 0.5
+        assert meta["serving"]["mask_min_pixels"] == 200
 
     det, step = regen_artifacts.build_detector(
         "checkpoints/yolo11n_seg_distill.msgpack")
-    assert det.params.mask_threshold == 0.9      # sidecar value
+    assert det.params.mask_threshold == 0.99     # sidecar value
+    assert det.params.mask_threshold_floor == 0.5
+    assert det.params.mask_min_pixels == 200
     det2, _ = regen_artifacts.build_detector(
         "checkpoints/yolo11n_seg_distill.msgpack", mask_threshold=0.5)
     assert det2.params.mask_threshold == 0.5     # explicit wins

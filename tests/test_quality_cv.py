@@ -96,3 +96,29 @@ def test_cv_counts_union_of_heldout_rows():
     assert res["fold_picks"] == {"1": 0.9, "2": 0.9}
     assert res["matched_cars"] == 2
     assert res["mean_inside_pct_eroded"] == 60.0
+
+
+def test_coverage_rule_requires_max_matched_cars():
+    # config "g" keeps all 5 cars at a lower mean; "hi" scores higher but
+    # drops 2 -- coverage must take "g", argmax must take "hi".  Keys are
+    # strings: the rule must work for non-float config keys (the mixed
+    # plain+guarded grid).
+    rows_by_cfg = {
+        "g": _rows((1, 75.0, 5)),
+        "hi": _rows((1, 99.0, 3)),
+    }
+    assert select_threshold(rows_by_cfg, ["g", "hi"], {1},
+                            "coverage", 2) == "g"
+    assert select_threshold(rows_by_cfg, ["g", "hi"], {1},
+                            "argmax", 2) == "hi"
+
+
+def test_coverage_rule_breaks_ties_on_mean():
+    # both configs keep every car on the train frames; coverage then
+    # reduces to argmax among them
+    rows_by_cfg = {
+        "a": _rows((1, 70.0, 4)),
+        "b": _rows((1, 80.0, 4)),
+    }
+    assert select_threshold(rows_by_cfg, ["a", "b"], {1},
+                            "coverage", 2) == "b"

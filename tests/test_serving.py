@@ -30,7 +30,8 @@ def test_no_sidecar_library_defaults(tmp_path):
     path = _write_ckpt(tmp_path)
     assert load_sidecar(path) == {}
     r = resolve_serving(path)
-    assert r == {"scale": "n", "mask_threshold": 0.5, "conf": None}
+    assert r == {"scale": "n", "mask_threshold": 0.5, "conf": None,
+                 "mask_threshold_floor": None, "mask_min_pixels": 0}
 
 
 def test_no_sidecar_default_scale_override(tmp_path):
@@ -43,7 +44,8 @@ def test_sidecar_serving_block_wins_over_defaults(tmp_path):
         "scale": "x",
         "serving": {"mask_threshold": 0.9, "conf": 0.3}})
     r = resolve_serving(path)
-    assert r == {"scale": "x", "mask_threshold": 0.9, "conf": 0.3}
+    assert r == {"scale": "x", "mask_threshold": 0.9, "conf": 0.3,
+                 "mask_threshold_floor": None, "mask_min_pixels": 0}
 
 
 def test_explicit_caller_overrides_win_over_sidecar(tmp_path):
@@ -51,7 +53,8 @@ def test_explicit_caller_overrides_win_over_sidecar(tmp_path):
         "scale": "x",
         "serving": {"mask_threshold": 0.9, "conf": 0.3}})
     r = resolve_serving(path, scale="n", conf=0.5, mask_threshold=0.75)
-    assert r == {"scale": "n", "mask_threshold": 0.75, "conf": 0.5}
+    assert r == {"scale": "n", "mask_threshold": 0.75, "conf": 0.5,
+                 "mask_threshold_floor": None, "mask_min_pixels": 0}
 
 
 def test_sidecar_without_serving_block(tmp_path):
@@ -59,7 +62,8 @@ def test_sidecar_without_serving_block(tmp_path):
     # ultralytics 0.5 constant, conf stays None (detector default)
     path = _write_ckpt(tmp_path, {"scale": "s", "step": 123})
     r = resolve_serving(path)
-    assert r == {"scale": "s", "mask_threshold": 0.5, "conf": None}
+    assert r == {"scale": "s", "mask_threshold": 0.5, "conf": None,
+                 "mask_threshold_floor": None, "mask_min_pixels": 0}
 
 
 def test_partial_serving_block(tmp_path):
@@ -84,7 +88,7 @@ def test_values_coerced_to_float(tmp_path):
 def test_committed_checkpoints_resolve_to_recorded_points():
     """The committed headline checkpoints carry sweep-selected serving
     blocks; the resolver must surface them (this is the exact operating
-    point behind the 76.29 artifacts -- PERFORMANCE.md)."""
+    point behind the committed artifacts -- PERFORMANCE.md)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name in ("yolo11n_seg_distill.msgpack",
                  "yolo11x_seg_distill.msgpack"):
@@ -97,3 +101,33 @@ def test_committed_checkpoints_resolve_to_recorded_points():
         if "serving" in meta:
             assert r["mask_threshold"] == pytest.approx(
                 float(meta["serving"]["mask_threshold"]))
+
+
+def test_guarded_shrink_serving_block(tmp_path):
+    # sweep-selected guarded-shrink point (primary cut + floor + pixel
+    # guard) resolves from the sidecar; explicit caller values win
+    path = _write_ckpt(tmp_path, {
+        "scale": "x",
+        "serving": {"mask_threshold": 0.99, "mask_threshold_floor": 0.5,
+                    "mask_min_pixels": 200}})
+    r = resolve_serving(path)
+    assert r["mask_threshold"] == 0.99
+    assert r["mask_threshold_floor"] == 0.5
+    assert r["mask_min_pixels"] == 200
+
+    r = resolve_serving(path, mask_threshold_floor=0.7, mask_min_pixels=50)
+    assert r["mask_threshold_floor"] == 0.7
+    assert r["mask_min_pixels"] == 50
+
+
+def test_explicit_threshold_below_sidecar_floor_disables_floor(tmp_path):
+    # overriding the threshold to/below the sidecar's floor implicitly
+    # disables the guarded shrink instead of producing an invalid
+    # floor >= threshold combination
+    path = _write_ckpt(tmp_path, {
+        "serving": {"mask_threshold": 0.99, "mask_threshold_floor": 0.5,
+                    "mask_min_pixels": 200}})
+    r = resolve_serving(path, mask_threshold=0.5)
+    assert r["mask_threshold"] == 0.5
+    assert r["mask_threshold_floor"] is None
+    assert r["mask_min_pixels"] == 0

@@ -347,3 +347,47 @@ def test_mask_threshold_relative_monotone_and_validated():
     with pytest.raises(ValueError, match="mask_threshold_mode"):
         _assemble_masks(protos, coef, boxes, valid, spec,
                         threshold_mode="bogus")
+
+
+def test_mask_threshold_floor_guarded_shrink():
+    """mask_threshold_floor: detections the primary cut leaves near-empty
+    serve the floor cut; saturated detections are untouched; min_pixels=0
+    reproduces the plain single-threshold output bit-for-bit."""
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _assemble_masks)
+
+    spec, protos, coef, boxes, valid = _relative_case()
+    # mix: dets 0-1 saturated, dets 2-3 soft (peaks well under 0.9)
+    coef = coef.at[2:].multiply(0.12)
+
+    hi = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                    threshold=0.9))
+    lo = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                    threshold=0.5))
+    noop = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                      threshold=0.9, floor=0.5,
+                                      min_pixels=0))
+    np.testing.assert_array_equal(noop, hi)
+
+    guard = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                       threshold=0.9, floor=0.5,
+                                       min_pixels=200))
+    hi_counts = [int(((hi >> d) & 1).sum()) for d in range(4)]
+    for d in range(4):
+        want = hi if hi_counts[d] >= 200 else lo
+        np.testing.assert_array_equal((guard >> d) & 1, (want >> d) & 1,
+                                      err_msg=f"det {d} "
+                                              f"(hi pixels {hi_counts[d]})")
+    # the case must actually exercise both branches
+    assert any(c >= 200 for c in hi_counts) \
+        and any(c < 200 for c in hi_counts), f"degenerate: {hi_counts}"
+
+    with pytest.raises(ValueError, match="must sit below"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold=0.5, floor=0.9)
+    with pytest.raises(ValueError, match="prob"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold=0.9, floor=0.5, upsample="logit")
+    with pytest.raises(ValueError, match="static threshold"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold=0.9, floor=0.5, impl="pallas")
