@@ -19,6 +19,10 @@ the sweep surfaced:
   count on the training frames is within --guard (default 2) of the
   ultralytics-default (0.5) matched count, i.e. the rule that actually
   chose 0.9 ("margin of matched cars", PERFORMANCE.md).
+* ``coverage`` — only configs keeping the MOST matched cars on the
+  training frames compete on mean inside-%; used for the mixed
+  plain+guarded-shrink grid (``--guarded-grid``), where it selected the
+  committed ``0.99+floor0.5@200`` serving point in 16/16 folds.
 
 The expensive network forward runs once (as in the sweep); each grid
 point re-runs only decode/NMS/mask assembly and the two fusion passes.
