@@ -276,10 +276,9 @@ class BenchContext:
             if mask_threshold_floor is None and own:
                 mask_threshold_floor = self.serving["mask_threshold_floor"]
                 mask_min_pixels = self.serving["mask_min_pixels"]
-        if mask_threshold_floor is not None and mask_assembly != "xla":
-            # the fused kernel bakes ONE static threshold; the guarded
-            # floor needs the XLA path (postprocess.py raises otherwise)
-            mask_assembly = "xla"
+        # (the guarded floor is served by BOTH assembly backends: the
+        # Pallas path runs a stack-free count pass + per-detection cuts,
+        # ops/pallas_masks.pallas_assemble_masks_guarded)
         return self.YoloDetector(
             (self.cfg.shapes.image_height, self.cfg.shapes.image_width),
             self.YoloConfig(scale=scale), variables=variables,

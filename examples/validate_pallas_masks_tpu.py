@@ -59,11 +59,13 @@ def main():
          y1 + rng.uniform(15, 200, (b, 32))], -1).astype(np.float32))
     dv = jnp.asarray(rng.random((b, 32)) > 0.2)
 
-    def run(impl, threshold=0.5):
+    def run(impl, threshold=0.5, floor=None, min_pixels=0):
         fn = jax.jit(jax.vmap(
             lambda p, c, bx, v: _assemble_masks(p, c, bx, v, spec,
                                                 impl=impl,
-                                                threshold=threshold)))
+                                                threshold=threshold,
+                                                floor=floor,
+                                                min_pixels=min_pixels)))
         out = fn(protos, coef, boxes, dv)
         float(out.sum())                    # relay-safe completion barrier
         t0 = time.perf_counter()
@@ -88,13 +90,18 @@ def main():
     print(f"[3/3] assembly stage: xla {t_xla:.3f} ms/frame  "
           f"pallas {t_pallas:.3f} ms/frame  ({t_xla / t_pallas:.2f}x)")
 
-    # the serving operating point (mask_threshold 0.9, PERFORMANCE.md) is
-    # a different compiled constant -- validate it lowers + parity too
-    print("[3b] parity at the 0.9 serving threshold ...")
-    got9, _ = run("pallas", threshold=0.9)
-    ref9, _ = run("xla", threshold=0.9)
+    # the committed serving operating point is the guarded-shrink config
+    # (0.99 + floor 0.5 @ 200 px, PERFORMANCE.md "Guarded shrink") --
+    # validate the two-pass kernel (count accumulation + per-detection
+    # threshold column) lowers through Mosaic and stays bit-parity too
+    print("[3b] parity at the guarded serving point "
+          "(0.99 + floor 0.5 @ 200 px) ...")
+    got9, t_guard = run("pallas", threshold=0.99, floor=0.5,
+                        min_pixels=200)
+    ref9, _ = run("xla", threshold=0.99, floor=0.5, min_pixels=200)
     flips9 = int(np.unpackbits((ref9 ^ got9).view(np.uint8)).sum())
-    print(f"      flipped bits @0.9: {flips9}")
+    print(f"      flipped bits @guarded: {flips9}  "
+          f"(pallas two-pass {t_guard:.3f} ms/frame)")
 
     ok = flips <= 5 * b and flips9 <= 5 * b   # ~ulp-level boundary flips
     print("RESULT:", "OK - flip mask_assembly default to auto"

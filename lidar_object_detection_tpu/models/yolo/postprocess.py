@@ -137,7 +137,8 @@ class PostprocessParams:
     # cut instead of serving a near-empty mask (the failure that unmatches
     # small cars at high thresholds -- fusion's >=10-LiDAR-point gate,
     # associate.py).  None = plain single-threshold behavior.  Requires
-    # mask_upsample="prob" and the XLA assembly path.
+    # mask_upsample="prob"; served by both the XLA path and the Pallas
+    # kernel (count pass + per-detection cuts, ops/pallas_masks.py).
     mask_threshold_floor: float | None = None
     mask_min_pixels: int = 0
     # where the bilinear upsample interpolates: "prob" (ultralytics --
@@ -265,12 +266,6 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
             raise ValueError(
                 "mask_threshold_floor needs mask_upsample='prob' (the "
                 "floor compares on the same probability field)")
-        if impl == "pallas":
-            raise ValueError(
-                "mask_threshold_floor needs the XLA assembly path: the "
-                "Pallas kernel bakes one static threshold "
-                "(ops/pallas_masks.py)")
-        impl = "xla"
     mh, mw, nm = protos.shape
     d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
@@ -313,10 +308,17 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
         # fused upsample+threshold+crop+pack: no (D, H, W) float stack in
         # HBM and exact f32 regardless of `fast` (the bf16 shortcut exists
         # only to shrink the XLA path's stack)
+        interp = jax.default_backend() != "tpu"
+        if floor is not None:
+            # guarded shrink: stack-free count pass + per-detection cuts
+            return pallas_masks.pallas_assemble_masks_guarded(
+                masks, boxes, det_valid, spec.src_h, spec.src_w,
+                threshold=threshold, floor=floor, min_pixels=min_pixels,
+                interpret=interp)
         return pallas_masks.pallas_assemble_masks(
             masks, boxes, det_valid, spec.src_h, spec.src_w,
             threshold=threshold,
-            interpret=jax.default_backend() != "tpu")
+            interpret=interp)
 
     if fast:
         masks = masks.astype(jnp.bfloat16)

@@ -21,9 +21,10 @@ tile it:
   3. x-interpolates as one (32, mw_c) @ (mw_c, 128) MXU matmul against a
      dense column-weight matrix (two nonzeros per column, like XLA's
      separable resize);
-  4. applies the binarization threshold (a compile-time constant -- 0.5
-     ultralytics-default or the swept serving point, e.g. 0.9), the xyxy
-     box crop, and detector validity;
+  4. applies the binarization threshold (one (32, 1) per-detection
+     column: ultralytics' 0.5, the swept serving cut, or the
+     guarded-shrink per-detection cuts), the xyxy box crop, and detector
+     validity;
   5. packs the 32 detection bits with a shift + OR-tree and writes one
      (8, 128) uint32 tile.
 
@@ -38,6 +39,14 @@ mask-boundary pixel is possible in principle.  Measured: ZERO flipped
 bits over ~50M pixel-detection pairs of random masks
 (tests/test_pallas_masks.py) -- vs the bf16 fast path's 0.038 % flip
 rate, this is indistinguishable from exact.
+
+The guarded-shrink serving mode (``PostprocessParams.
+mask_threshold_floor`` -- the committed checkpoints' operating point)
+runs as two stack-free passes: :func:`pallas_count_above` accumulates
+each detection's primary-cut pixel count across the grid into one
+(32, 1) block (TPU grids are sequential, so the revisited block
+accumulates), then :func:`pallas_assemble_masks` re-runs with the
+per-detection threshold column.
 """
 
 from __future__ import annotations
@@ -54,16 +63,16 @@ COL_TILE = 128
 NUM_BITS = 32
 
 
-def _mask_kernel(mh_c: int, threshold: float, y0_ref, w0_ref, w1_ref, m_ref,
-                 wx_ref, boxes_ref, out_ref):
+def _mask_kernel(mh_c: int, y0_ref, w0_ref, w1_ref, m_ref,
+                 wx_ref, boxes_ref, thr_ref, out_ref):
     """One (ROW_TILE, COL_TILE) packed-output tile.
 
-    ``threshold`` is baked into the compiled kernel as a compile-time
-    constant (it is a serving knob, fixed per detector instance) -- the
-    compare costs the same at any value, so the kernel serves the swept
-    operating point (``PostprocessParams.mask_threshold``, e.g. the 0.9
-    serving default of the committed checkpoints) as well as
-    ultralytics' hardcoded 0.5.
+    ``thr_ref`` is a (32, 1) per-detection threshold column -- one
+    broadcast value for a plain operating point (ultralytics' 0.5 or the
+    swept serving cut), or the per-detection cuts of the guarded-shrink
+    mode (``PostprocessParams.mask_threshold_floor``: detections whose
+    primary-cut mask is near-empty serve the floor cut instead).  The
+    compare costs the same either way.
 
     y0/w0/w1: (ROW_TILE,) SMEM -- resize row taps for this tile's rows.
     m_ref:    (mh_c, 32, mw_c) VMEM -- sigmoid masks at proto resolution.
@@ -80,6 +89,7 @@ def _mask_kernel(mh_c: int, threshold: float, y0_ref, w0_ref, w1_ref, m_ref,
     x2 = boxes_ref[:, 2:3]
     y2 = boxes_ref[:, 3:4]
     in_x = (xs >= x1) & (xs < x2)                       # (32, COL_TILE)
+    thr = thr_ref[:]                                    # (32, 1)
 
     d_ids = jax.lax.broadcasted_iota(jnp.uint32, (NUM_BITS, 1), 0)
     bit_val = jnp.uint32(1) << d_ids                    # (32, 1)
@@ -95,7 +105,7 @@ def _mask_kernel(mh_c: int, threshold: float, y0_ref, w0_ref, w1_ref, m_ref,
 
         yf = (r * ROW_TILE + i).astype(jnp.float32)
         in_y = (yf >= y1) & (yf < y2)                   # (32, 1)
-        binary = (vals > threshold) & in_x & in_y
+        binary = (vals > thr) & in_x & in_y
         word = jnp.where(binary, bit_val, jnp.uint32(0))    # (32, COL_TILE)
         # OR-tree over the 32 detection sublanes -> one packed word/pixel
         word = word[0:16] | word[16:32]
@@ -104,6 +114,47 @@ def _mask_kernel(mh_c: int, threshold: float, y0_ref, w0_ref, w1_ref, m_ref,
         word = word[0:2] | word[2:4]
         word = word[0:1] | word[1:2]                    # (1, COL_TILE)
         out_ref[i:i + 1, :] = word
+
+
+def _count_kernel(mh_c: int, y0_ref, w0_ref, w1_ref, m_ref,
+                  wx_ref, boxes_ref, thr_ref, out_ref):
+    """Per-detection count of pixels passing (vals > thr) & in-box,
+    accumulated across the whole (r, c) grid into one (32, 1) block --
+    the guarded-shrink pixel guard, computed WITHOUT materializing the
+    upsampled mask stack (same on-the-fly interpolation as
+    :func:`_mask_kernel`; TPU grids iterate sequentially, so the
+    revisited output block accumulates)."""
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when((r == 0) & (c == 0))
+    def _init():
+        out_ref[:, :] = jnp.zeros((NUM_BITS, 1), jnp.int32)
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, COL_TILE), 1) \
+        + (c * COL_TILE).astype(jnp.float32)
+    x1 = boxes_ref[:, 0:1]
+    y1 = boxes_ref[:, 1:2]
+    x2 = boxes_ref[:, 2:3]
+    y2 = boxes_ref[:, 3:4]
+    in_x = (xs >= x1) & (xs < x2)                       # (32, COL_TILE)
+    thr = thr_ref[:]                                    # (32, 1)
+
+    wx = wx_ref[:]
+    acc = jnp.zeros((NUM_BITS, 1), jnp.int32)
+    for i in range(ROW_TILE):
+        y0 = y0_ref[i]
+        row0 = m_ref[y0]
+        row1 = m_ref[jnp.minimum(y0 + 1, mh_c - 1)]
+        combined = w0_ref[i] * row0 + w1_ref[i] * row1
+        vals = jnp.dot(combined, wx,
+                       preferred_element_type=jnp.float32)
+        yf = (r * ROW_TILE + i).astype(jnp.float32)
+        in_y = (yf >= y1) & (yf < y2)
+        binary = (vals > thr) & in_x & in_y             # (32, COL_TILE)
+        acc = acc + jnp.sum(binary.astype(jnp.int32), axis=1,
+                            keepdims=True)
+    out_ref[:, :] += acc
 
 
 def resize_taps(n_in: int, n_out: int):
@@ -136,28 +187,9 @@ def supported(num_det: int, src_h: int, src_w: int,
     return ok
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("src_h", "src_w", "threshold",
-                                    "interpret"))
-def pallas_assemble_masks(masks_c, boxes, det_valid, src_h: int, src_w: int,
-                          threshold: float = 0.5,
-                          interpret: bool = False):
-    """Packed (src_h, src_w) uint32 mask image from proto-res sigmoids.
-
-    Args:
-      masks_c: (D, mh_c, mw_c) float32 masks at proto resolution
-        (sigmoid probabilities, or logits when the caller thresholds in
-        logit space), letterbox padding already cropped
-        (``_assemble_masks`` steps up to the resize).
-      boxes: (D, 4) xyxy in original-image pixels.
-      det_valid: (D,) bool.
-      src_h / src_w: original image size (src_h % 8 == 0, src_w % 128 == 0).
-      threshold: static binarization point applied to the interpolated
-        values -- the same compare as the XLA path's ``masks > threshold``.
-
-    Returns (src_h, src_w) uint32; bit d = detection d's binary mask --
-    bit-compatible with the XLA ``_assemble_masks`` output.
-    """
+def _prep_operands(masks_c, boxes, det_valid, src_h: int, src_w: int,
+                   threshold):
+    """Shared operand prep for the assembly and count kernels."""
     d, mh_c, mw_c = masks_c.shape
     if not supported(d, src_h, src_w, mh_c, mw_c):
         raise ValueError(
@@ -179,26 +211,121 @@ def pallas_assemble_masks(masks_c, boxes, det_valid, src_h: int, src_w: int,
                   empty[None, :]))
     boxes32 = boxes32.at[d:].set(empty[None, :])
 
+    # (32, 1) per-detection threshold column; a scalar broadcasts (the
+    # plain single-cut operating point)
+    thr = jnp.asarray(threshold, jnp.float32)
+    if thr.ndim == 0:
+        thr32 = jnp.full((NUM_BITS, 1), thr, jnp.float32)
+    else:
+        thr32 = jnp.full((NUM_BITS, 1), 2.0, jnp.float32)  # pad: nothing
+        thr32 = thr32.at[:d, 0].set(thr.astype(jnp.float32))
+
+    in_specs = [
+        pl.BlockSpec((ROW_TILE,), lambda r, c: (r,),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((ROW_TILE,), lambda r, c: (r,),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((ROW_TILE,), lambda r, c: (r,),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((mh_c, NUM_BITS, mw_c), lambda r, c: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mw_c, COL_TILE), lambda r, c: (0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NUM_BITS, 4), lambda r, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NUM_BITS, 1), lambda r, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     grid = (src_h // ROW_TILE, src_w // COL_TILE)
+    operands = (y0s, wy0, wy1, m_t, wx_full, boxes32, thr32)
+    return mh_c, grid, in_specs, operands
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("src_h", "src_w", "interpret"))
+def pallas_assemble_masks(masks_c, boxes, det_valid, src_h: int, src_w: int,
+                          threshold=0.5,
+                          interpret: bool = False):
+    """Packed (src_h, src_w) uint32 mask image from proto-res sigmoids.
+
+    Args:
+      masks_c: (D, mh_c, mw_c) float32 masks at proto resolution
+        (sigmoid probabilities, or logits when the caller thresholds in
+        logit space), letterbox padding already cropped
+        (``_assemble_masks`` steps up to the resize).
+      boxes: (D, 4) xyxy in original-image pixels.
+      det_valid: (D,) bool.
+      src_h / src_w: original image size (src_h % 8 == 0, src_w % 128 == 0).
+      threshold: binarization point applied to the interpolated values --
+        the same compare as the XLA path's ``masks > threshold``.  A
+        scalar (any serving cut), or a (D,) per-detection vector (the
+        guarded-shrink mode, :func:`pallas_assemble_masks_guarded`).
+
+    Returns (src_h, src_w) uint32; bit d = detection d's binary mask --
+    bit-compatible with the XLA ``_assemble_masks`` output.
+    """
+    mh_c, grid, in_specs, operands = _prep_operands(
+        masks_c, boxes, det_valid, src_h, src_w, threshold)
     return pl.pallas_call(
-        functools.partial(_mask_kernel, mh_c, float(threshold)),
+        functools.partial(_mask_kernel, mh_c),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ROW_TILE,), lambda r, c: (r,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_TILE,), lambda r, c: (r,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_TILE,), lambda r, c: (r,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((mh_c, NUM_BITS, mw_c), lambda r, c: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mw_c, COL_TILE), lambda r, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_BITS, 4), lambda r, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ROW_TILE, COL_TILE), lambda r, c: (r, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((src_h, src_w), jnp.uint32),
         interpret=interpret,
-    )(y0s, wy0, wy1, m_t, wx_full, boxes32)
+    )(*operands)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("src_h", "src_w", "interpret"))
+def pallas_count_above(masks_c, boxes, det_valid, src_h: int, src_w: int,
+                       threshold=0.5, interpret: bool = False):
+    """(D,) int32 -- per detection, how many full-resolution pixels pass
+    ``(interpolated > threshold) & in-box & valid``.  Bit-compatible with
+    counting the XLA path's binary mask, but never materializes the
+    (D, H, W) stack (the guard input of the guarded-shrink serving
+    mode)."""
+    d = masks_c.shape[0]
+    mh_c, grid, in_specs, operands = _prep_operands(
+        masks_c, boxes, det_valid, src_h, src_w, threshold)
+    counts = pl.pallas_call(
+        functools.partial(_count_kernel, mh_c),
+        grid=grid,
+        in_specs=in_specs,
+        # every grid step revisits the single (32, 1) block -> sequential
+        # accumulation (TPU grids are serial; interpret mode matches)
+        out_specs=pl.BlockSpec((NUM_BITS, 1), lambda r, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NUM_BITS, 1), jnp.int32),
+        interpret=interpret,
+    )(*operands)
+    return counts[:d, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("src_h", "src_w", "min_pixels",
+                                    "interpret"))
+def pallas_assemble_masks_guarded(masks_c, boxes, det_valid,
+                                  src_h: int, src_w: int,
+                                  threshold, floor, min_pixels: int,
+                                  interpret: bool = False):
+    """Guarded-shrink mask assembly, two stack-free passes.
+
+    Pass 1 counts each detection's primary-cut pixels
+    (:func:`pallas_count_above`); detections under ``min_pixels`` fall
+    back to the ``floor`` cut.  Pass 2 assembles the packed bits at the
+    per-detection thresholds.  Bit-compatible with the XLA
+    ``_assemble_masks(..., floor=, min_pixels=)`` path
+    (PostprocessParams.mask_threshold_floor -- the serving default of
+    the committed checkpoints, PERFORMANCE.md "Guarded shrink").  2x the
+    compute of the plain kernel, still ~20x less HBM than the XLA
+    float-stack path.
+    """
+    counts = pallas_count_above(masks_c, boxes, det_valid, src_h, src_w,
+                                threshold=threshold, interpret=interpret)
+    thr_vec = jnp.where(counts >= min_pixels,
+                        jnp.asarray(threshold, jnp.float32),
+                        jnp.asarray(floor, jnp.float32))
+    return pallas_assemble_masks(masks_c, boxes, det_valid, src_h, src_w,
+                                 threshold=thr_vec, interpret=interpret)

@@ -118,3 +118,83 @@ def test_supported_guard():
     with pytest.raises(ValueError):
         pallas_assemble_masks(jnp.zeros((32, mh, mw)), jnp.zeros((32, 4)),
                               jnp.ones(32, bool), H + 1, W)
+
+
+def test_count_kernel_matches_xla_pixel_counts(rng):
+    """pallas_count_above == counting the XLA binary mask's set pixels
+    per detection (the guarded-shrink pixel guard, without the stack)."""
+    from lidar_object_detection_tpu.ops.pallas_masks import \
+        pallas_count_above
+
+    spec, protos, coef, boxes, det_valid = _random_case(rng, d=6)
+    # reproduce the XLA path's per-detection binary masks
+    import jax.numpy as jnp
+    mh, mw, nm = 48, 160, 32
+    logits = jnp.einsum("dn,hwn->dhw", jnp.asarray(coef),
+                        jnp.asarray(protos))
+    probs = jax.nn.sigmoid(logits)
+    gain = min(mh / H, mw / W)
+    top = int(round((mh - H * gain) / 2 - 0.1))
+    left = int(round((mw - W * gain) / 2 - 0.1))
+    bottom = mh - int(round((mh - H * gain) / 2 + 0.1))
+    right = mw - int(round((mw - W * gain) / 2 + 0.1))
+    cropped = probs[:, top:bottom, left:right]
+    full = jax.image.resize(cropped, (6, H, W), "bilinear")
+    ys = np.arange(H)[None, :, None]
+    xs = np.arange(W)[None, None, :]
+    in_box = ((xs >= boxes[:, 0, None, None]) & (xs < boxes[:, 2, None, None])
+              & (ys >= boxes[:, 1, None, None])
+              & (ys < boxes[:, 3, None, None]))
+    for thr in (0.5, 0.9):
+        ref = ((np.asarray(full) > thr) & in_box
+               & det_valid[:, None, None]).sum(axis=(1, 2))
+        got = np.asarray(pallas_count_above(
+            cropped, jnp.asarray(boxes), jnp.asarray(det_valid), H, W,
+            threshold=thr, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_guarded_kernel_matches_xla_guarded_path(rng):
+    """The two-pass guarded kernel reproduces the XLA floor path
+    bit-for-bit -- the committed serving point (0.99 + floor 0.5 @
+    200 px) must be servable on the Pallas path."""
+    spec, protos, coef, boxes, det_valid = _random_case(rng)
+    # soften half the masks so the pixel guard actually fires for some
+    coef = coef * np.where(np.arange(32)[:, None] % 2, 1.0, 0.1)
+    kw = dict(threshold=0.99, floor=0.5, min_pixels=200)
+    ref = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="xla", **kw))
+    got = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="pallas", **kw))
+    assert ref.any(), "degenerate case: no bits set"
+    # the guard must actually split the detections between the two cuts
+    plain_hi = np.asarray(_assemble_masks(
+        jnp.asarray(protos), jnp.asarray(coef), jnp.asarray(boxes),
+        jnp.asarray(det_valid), spec, impl="xla", threshold=0.99))
+    assert (ref != plain_hi).any(), \
+        "degenerate: no detection fell back to the floor cut"
+    mismatch = int((ref != got).sum())
+    assert mismatch == 0, f"{mismatch}/{ref.size} packed words differ"
+
+
+def test_threshold_vector_assembly(rng):
+    """A (D,) per-detection threshold vector applies each detection's own
+    cut (the guarded mode's pass-2 primitive)."""
+    spec, protos, coef, boxes, det_valid = _random_case(rng, d=4)
+    det_valid = np.ones(4, bool)
+    probs = jax.nn.sigmoid(jnp.einsum("dn,hwn->dhw", jnp.asarray(coef),
+                                      jnp.asarray(protos)))
+    thr = np.asarray([0.3, 0.6, 0.9, 0.5], np.float32)
+    got = np.asarray(pallas_assemble_masks(
+        probs, jnp.asarray(boxes), jnp.asarray(det_valid), H, W,
+        threshold=jnp.asarray(thr), interpret=True))
+    for d in range(4):
+        one = np.zeros(4, bool)
+        one[d] = True
+        ref = np.asarray(pallas_assemble_masks(
+            probs, jnp.asarray(boxes), jnp.asarray(one), H, W,
+            threshold=float(thr[d]), interpret=True))
+        np.testing.assert_array_equal((got >> d) & 1, (ref >> d) & 1,
+                                      err_msg=f"det {d}")

@@ -388,6 +388,3 @@ def test_mask_threshold_floor_guarded_shrink():
     with pytest.raises(ValueError, match="prob"):
         _assemble_masks(protos, coef, boxes, valid, spec,
                         threshold=0.9, floor=0.5, upsample="logit")
-    with pytest.raises(ValueError, match="static threshold"):
-        _assemble_masks(protos, coef, boxes, valid, spec,
-                        threshold=0.9, floor=0.5, impl="pallas")
