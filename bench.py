@@ -273,7 +273,8 @@ class BenchContext:
             # checkpoint pass its own resolved values
             own = variables is self.variables
             mask_threshold = self.serving_thr if own else 0.5
-            if mask_threshold_floor is None and own:
+            if own and mask_threshold_floor is None \
+                    and mask_min_pixels is None:
                 mask_threshold_floor = self.serving["mask_threshold_floor"]
                 mask_min_pixels = self.serving["mask_min_pixels"]
         # (the guarded floor is served by BOTH assembly backends: the
@@ -357,7 +358,10 @@ def extra_learned_ckpt(ctx: BenchContext) -> dict:
     with open(ckpt, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     det = ctx.make_detector(serving["scale"], raw["variables"],
-                            mask_threshold=serving["mask_threshold"])
+                            mask_threshold=serving["mask_threshold"],
+                            mask_threshold_floor=serving[
+                                "mask_threshold_floor"],
+                            mask_min_pixels=serving["mask_min_pixels"])
     return {"learned_ckpt_frames_per_sec": round(ctx.timed_e2e(det), 2),
             "learned_ckpt_scale": serving["scale"]}
 

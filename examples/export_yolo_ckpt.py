@@ -39,6 +39,13 @@ def main():
                     help="record the guarded-shrink pixel guard in the "
                          "serving block")
     args = ap.parse_args()
+    if args.serving_mask_floor is not None and args.serving_mask_thr is None:
+        ap.error("--serving-mask-floor needs --serving-mask-thr (the "
+                 "floor is the fallback below a recorded primary cut)")
+    if args.serving_mask_floor is not None \
+            and not (args.serving_mask_min_pixels or 0) >= 1:
+        ap.error("--serving-mask-floor needs --serving-mask-min-pixels "
+                 ">= 1 (with no pixel guard the floor can never fire)")
 
     import jax.numpy as jnp
     import numpy as np
@@ -84,7 +91,7 @@ def main():
             meta["serving"]["mask_threshold_floor"] = \
                 args.serving_mask_floor
             meta["serving"]["mask_min_pixels"] = \
-                args.serving_mask_min_pixels or 0
+                args.serving_mask_min_pixels
     elif "serving" not in meta:
         print("WARNING: no serving block in the source sidecar and no "
               "--serving-mask-thr given; the export will serve at "

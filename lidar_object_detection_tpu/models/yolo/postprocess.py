@@ -266,6 +266,17 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
             raise ValueError(
                 "mask_threshold_floor needs mask_upsample='prob' (the "
                 "floor compares on the same probability field)")
+        if threshold_mode != "absolute":
+            raise ValueError(
+                "mask_threshold_floor needs mask_threshold_mode="
+                "'absolute': with a relative primary cut the absolute "
+                "floor can sit ABOVE a soft detection's effective cut, "
+                "shrinking the mask the guard was meant to save")
+        if min_pixels < 1:
+            raise ValueError(
+                f"mask_threshold_floor needs mask_min_pixels >= 1 "
+                f"(got {min_pixels}): with no pixel guard the floor can "
+                f"never fire and only doubles the assembly cost")
     mh, mw, nm = protos.shape
     d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),

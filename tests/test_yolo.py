@@ -275,7 +275,6 @@ def test_mask_threshold_relative_keeps_weak_peaks():
     relative = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
                                           threshold=0.9,
                                           threshold_mode="relative"))
-    d_abs = np.unique(np.nonzero(absolute)[0] if absolute.any() else [])
     # every detection keeps bits in relative mode...
     per_det = [bool((relative & (1 << d)).any()) for d in range(4)]
     assert all(per_det), f"relative mode emptied a detection: {per_det}"
@@ -283,7 +282,6 @@ def test_mask_threshold_relative_keeps_weak_peaks():
     per_det_abs = [bool((absolute & (1 << d)).any()) for d in range(4)]
     assert not all(per_det_abs), \
         "case degenerate: absolute 0.9 kept every soft mask"
-    del d_abs
 
 
 def test_mask_threshold_relative_matches_absolute_at_peak_product():
@@ -364,11 +362,6 @@ def test_mask_threshold_floor_guarded_shrink():
                                     threshold=0.9))
     lo = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
                                     threshold=0.5))
-    noop = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
-                                      threshold=0.9, floor=0.5,
-                                      min_pixels=0))
-    np.testing.assert_array_equal(noop, hi)
-
     guard = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
                                        threshold=0.9, floor=0.5,
                                        min_pixels=200))
@@ -388,3 +381,14 @@ def test_mask_threshold_floor_guarded_shrink():
     with pytest.raises(ValueError, match="prob"):
         _assemble_masks(protos, coef, boxes, valid, spec,
                         threshold=0.9, floor=0.5, upsample="logit")
+    # a floor whose guard can never fire is a config error, not a silent
+    # 2x-cost no-op
+    with pytest.raises(ValueError, match="mask_min_pixels"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold=0.9, floor=0.5, min_pixels=0)
+    # an absolute floor under a relative primary cut can shrink the mask
+    # the guard was meant to save
+    with pytest.raises(ValueError, match="absolute"):
+        _assemble_masks(protos, coef, boxes, valid, spec,
+                        threshold=0.9, floor=0.5, min_pixels=200,
+                        threshold_mode="relative")
