@@ -354,3 +354,33 @@ def test_stub_recording_roundtrip(dataset, tmp_path):
 def test_run_empty_frames(kitti_root):
     result = v1_pointwise(kitti_root).run([999999])
     assert result.frames == [] and result.csv_rows == []
+
+
+def test_cli_build_detector_resolves_guarded_serving(tmp_path):
+    """The CLI's detector builder resolves the committed sidecar's
+    guarded-shrink serving point, and the explicit flags override it
+    (pipelines/cli.py _build_detector -> models/yolo/serving.py)."""
+    import argparse
+
+    from lidar_object_detection_tpu.pipelines.cli import _build_detector
+
+    class _Cam:
+        height, width = 376, 1408
+
+    class _DS:
+        camera = _Cam()
+
+    ckpt = "checkpoints/yolo11n_seg_distill.msgpack"
+    base = dict(detector="yolo", weights=ckpt, yolo_scale=None, conf=None,
+                mask_thr=None, mask_floor=None, mask_min_pixels=None)
+    det = _build_detector(argparse.Namespace(**base), _DS())
+    assert det.params.mask_threshold == 0.99        # sidecar serving block
+    assert det.params.mask_threshold_floor == 0.5
+    assert det.params.mask_min_pixels == 200
+
+    det2 = _build_detector(
+        argparse.Namespace(**{**base, "mask_thr": 0.9, "mask_floor": 0.6,
+                              "mask_min_pixels": 50}), _DS())
+    assert det2.params.mask_threshold == 0.9        # explicit flags win
+    assert det2.params.mask_threshold_floor == 0.6
+    assert det2.params.mask_min_pixels == 50
