@@ -22,8 +22,13 @@ from types import SimpleNamespace
 
 
 def prepare_study(ckpt: str, dataset: str, platform: str | None = None,
-                  log=print) -> SimpleNamespace:
-    """Load the checkpoint, build the pipelines, run the forward once."""
+                  log=print, **detector_kw) -> SimpleNamespace:
+    """Load the checkpoint, build the pipelines, run the forward once.
+
+    Extra keyword args pass through to ``YoloDetector`` (e.g.
+    ``imgsz=896`` for the input-resolution probe); the forward and every
+    ``rows_for`` decode then run at that detector's letterbox spec.
+    """
     import jax
 
     if platform:
@@ -43,7 +48,7 @@ def prepare_study(ckpt: str, dataset: str, platform: str | None = None,
         load_serving_checkpoint
     from lidar_object_detection_tpu.pipelines.runner import FusionPipeline
 
-    det0, _, resolved = load_serving_checkpoint(ckpt)
+    det0, _, resolved = load_serving_checkpoint(ckpt, **detector_kw)
     cfg_raw = FusionConfig.for_version(PipelineVersion.V2_STATS)
     cfg_ero = FusionConfig.for_version(PipelineVersion.CSV_EVAL)
     ds = Kitti360Dataset(dataset, shapes=cfg_raw.shapes)
@@ -52,7 +57,8 @@ def prepare_study(ckpt: str, dataset: str, platform: str | None = None,
     images = ds.load_images(batch)
     spec, model = det0.spec, det0.model
     log(f"[quality] {len(records)} frames, ckpt={ckpt} "
-        f"({resolved['scale']})", flush=True)
+        f"({resolved['scale']}, letterbox {spec.dst_h}x{spec.dst_w})",
+        flush=True)
 
     @jax.jit
     def forward(variables, images):
