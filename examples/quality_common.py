@@ -73,6 +73,11 @@ def prepare_study(ckpt: str, dataset: str, platform: str | None = None,
     return SimpleNamespace(
         scale=resolved["scale"], n_frames=len(records), spec=spec,
         raw_out=raw_out,
+        # extra handles for probes that need more than the one forward
+        # (e.g. the flip-TTA probe re-runs it on mirrored images)
+        det=det0, images=images,
+        run_forward=lambda imgs: jax.device_get(
+            forward(det0.variables, jnp.asarray(imgs))),
         pipe_raw=FusionPipeline(ds, cfg_raw, det0),
         pipe_ero=FusionPipeline(ds, cfg_ero, det0))
 

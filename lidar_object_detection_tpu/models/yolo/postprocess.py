@@ -163,6 +163,11 @@ class PostprocessParams:
     # Pallas grid serializes the batch: 1.26 vs 0.85 ms for 19 frames
     # on v5e).
     nms_impl: str = "xla"
+    # also emit the kept detections' mask coefficients ("coef", (D, nm))
+    # so downstream consumers can re-compose probability fields from the
+    # protos (multi-view mask ensembling, introspection); the serving
+    # path never reads it.
+    emit_coef: bool = False
 
 
 def postprocess_single(outputs, params: PostprocessParams):
@@ -216,6 +221,8 @@ def postprocess_single(outputs, params: PostprocessParams):
         coef_flat = jnp.concatenate(
             [c.reshape(-1, c.shape[-1]) for c in outputs["coef"]], 0)
         det_coef = coef_flat[top_idx][keep_idx]                # (D, nm)
+        if p.emit_coef:
+            out["coef"] = det_coef
         out["mask_bits"] = _assemble_masks(
             outputs["proto"], det_coef, det_boxes, keep_valid, spec,
             fast=p.fast_masks, impl=p.mask_assembly,
@@ -225,6 +232,66 @@ def postprocess_single(outputs, params: PostprocessParams):
     else:
         out["mask_bits"] = jnp.zeros((spec.src_h, spec.src_w), jnp.uint32)
     return out
+
+
+def _proto_crop_bounds(mh: int, mw: int, spec: LetterboxSpec):
+    """scale_masks' letterbox-padding removal, computed at mask (proto)
+    resolution: the (top, bottom, left, right) slice bounds of the
+    image-content region inside the (mh, mw) proto grid."""
+    gain = min(mh / spec.src_h, mw / spec.src_w)
+    pad_w = (mw - spec.src_w * gain) / 2
+    pad_h = (mh - spec.src_h * gain) / 2
+    top = int(round(pad_h - 0.1))
+    left = int(round(pad_w - 0.1))
+    bottom = mh - int(round(pad_h + 0.1))
+    right = mw - int(round(pad_w + 0.1))
+    return top, bottom, left, right
+
+
+def mask_prob_fields(protos, coef, spec: LetterboxSpec):
+    """(D, H0, W0) float32 mask probability fields: sigmoid(coef @ protos),
+    letterbox padding stripped at proto resolution, bilinear-resized to the
+    original image — exactly the field the prob-space XLA assembly
+    thresholds, BEFORE the box crop and binarization.  Exposed for
+    multi-view mask ensembling (e.g. flip-TTA averaging,
+    examples/quality_flip_probe.py) and introspection; the serving path
+    itself never materializes this stack through this entry point."""
+    mh, mw, _ = protos.shape
+    d = coef.shape[0]
+    probs = jax.nn.sigmoid(
+        jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
+                   protos.astype(jnp.float32)))
+    top, bottom, left, right = _proto_crop_bounds(mh, mw, spec)
+    probs = probs[:, top:bottom, left:right]
+    return jax.image.resize(probs, (d, spec.src_h, spec.src_w),
+                            method="bilinear")
+
+
+def pack_thresholded_masks(fields, boxes, det_valid, threshold: float,
+                           floor: float | None = None, min_pixels: int = 0):
+    """Binarize (D, H0, W0) probability fields at ``threshold``, crop to
+    each detection's box, apply the guarded-shrink floor, and pack to the
+    (H0, W0) uint32 bit-plane image — the tail of the prob-space XLA
+    assembly (``_assemble_masks``; bit-parity pinned by
+    tests/test_yolo.py), exposed so ensembling experiments that build
+    their own probability fields (:func:`mask_prob_fields`) share the
+    serving binarization exactly."""
+    d, h, w = fields.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x1 = boxes[:, 0][:, None, None]
+    y1 = boxes[:, 1][:, None, None]
+    x2 = boxes[:, 2][:, None, None]
+    y2 = boxes[:, 3][:, None, None]
+    in_box = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+    binary = (fields > threshold) & in_box & det_valid[:, None, None]
+    if floor is not None:
+        low = (fields > floor) & in_box & det_valid[:, None, None]
+        keep_hi = jnp.sum(binary, axis=(1, 2)) >= min_pixels      # (D,)
+        binary = jnp.where(keep_hi[:, None, None], binary, low)
+    weights = (jnp.uint32(1) << jnp.arange(d, dtype=jnp.uint32))
+    return jnp.sum(binary.astype(jnp.uint32) * weights[:, None, None],
+                   axis=0, dtype=jnp.uint32)
 
 
 def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
@@ -294,14 +361,7 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     else:
         masks = jax.nn.sigmoid(logits)                          # (D, mh, mw)
 
-    # scale_masks: remove padding computed at mask resolution
-    gain = min(mh / spec.src_h, mw / spec.src_w)
-    pad_w = (mw - spec.src_w * gain) / 2
-    pad_h = (mh - spec.src_h * gain) / 2
-    top = int(round(pad_h - 0.1))
-    left = int(round(pad_w - 0.1))
-    bottom = mh - int(round(pad_h + 0.1))
-    right = mw - int(round(pad_w + 0.1))
+    top, bottom, left, right = _proto_crop_bounds(mh, mw, spec)
     masks = masks[:, top:bottom, left:right]
 
     use_pallas = False

@@ -392,3 +392,66 @@ def test_mask_threshold_floor_guarded_shrink():
         _assemble_masks(protos, coef, boxes, valid, spec,
                         threshold=0.9, floor=0.5, min_pixels=200,
                         threshold_mode="relative")
+
+
+def test_prob_fields_and_pack_match_assembly():
+    """mask_prob_fields + pack_thresholded_masks reproduce _assemble_masks
+    bit-for-bit on the prob/absolute path (plain and guarded) -- the pin
+    that lets ensembling experiments (examples/quality_flip_probe.py)
+    build their own probability fields yet share the serving
+    binarization exactly."""
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _assemble_masks, mask_prob_fields, pack_thresholded_masks)
+
+    spec, protos, coef, boxes, valid = _relative_case()
+    coef = coef.at[2:].multiply(0.12)      # mix saturated + soft dets
+    fields = mask_prob_fields(protos, coef, spec)
+    assert fields.shape == (4, spec.src_h, spec.src_w)
+    assert fields.dtype == jnp.float32
+
+    for kwargs in ({"threshold": 0.9},
+                   {"threshold": 0.99, "floor": 0.5, "min_pixels": 200}):
+        ref = np.asarray(_assemble_masks(protos, coef, boxes, valid, spec,
+                                         **kwargs))
+        got = np.asarray(pack_thresholded_masks(
+            fields, boxes, valid, kwargs["threshold"],
+            kwargs.get("floor"), kwargs.get("min_pixels", 0)))
+        np.testing.assert_array_equal(got, ref, err_msg=str(kwargs))
+
+    # an invalidated detection emits no bits through the helper either
+    got = np.asarray(pack_thresholded_masks(
+        fields, boxes, valid.at[1].set(False), 0.5))
+    assert not ((got >> 1) & 1).any()
+
+
+def test_postprocess_emit_coef():
+    """emit_coef=True surfaces the kept detections' mask coefficients in
+    NMS order; the default output surface is unchanged."""
+    spec = LetterboxSpec.build(376, 1408, 640)
+    lvl = [(24, 80), (12, 40), (6, 20)]
+    nc, nm = 80, 32
+    outputs = {
+        "box": [np.zeros((h, w, 4 * REG_MAX), np.float32) for h, w in lvl],
+        "cls": [np.full((h, w, nc), -10.0, np.float32) for h, w in lvl],
+        "coef": [np.zeros((h, w, nm), np.float32) for h, w in lvl],
+        "proto": np.full((48, 160, nm), 1.0, np.float32),
+    }
+    big = 30.0
+    dist_bins = np.full((4, REG_MAX), -big, np.float32)
+    for side, cells in enumerate((4, 3, 5, 2)):
+        dist_bins[side, cells] = big
+    outputs["box"][0][12, 40] = dist_bins.ravel()
+    outputs["cls"][0][12, 40, 2] = 5.0
+    outputs["coef"][0][12, 40] = np.arange(nm, dtype=np.float32)
+    as_jax = {k: ([jnp.asarray(a) for a in v] if isinstance(v, list)
+                  else jnp.asarray(v)) for k, v in outputs.items()}
+
+    pp = PostprocessParams(spec=spec, conf_threshold=0.25, max_detections=8)
+    assert "coef" not in postprocess_single(as_jax, pp)
+
+    pp = PostprocessParams(spec=spec, conf_threshold=0.25, max_detections=8,
+                           emit_coef=True)
+    out = postprocess_single(as_jax, pp)
+    assert out["coef"].shape == (8, nm)
+    np.testing.assert_array_equal(np.asarray(out["coef"])[0],
+                                  np.arange(nm, dtype=np.float32))
