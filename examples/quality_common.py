@@ -90,7 +90,6 @@ def rows_for(ctx: SimpleNamespace, conf: float, mask_threshold: float,
     import jax
     import numpy as np
 
-    from lidar_object_detection_tpu.eval.erosion_study import join_runs
     from lidar_object_detection_tpu.models.yolo.postprocess import (
         PostprocessParams, postprocess_single)
 
@@ -102,6 +101,91 @@ def rows_for(ctx: SimpleNamespace, conf: float, mask_threshold: float,
     post = jax.jit(jax.vmap(lambda one: postprocess_single(one, pp)))
     det_out = post(jax.device_put(ctx.raw_out))
     detections = {k: np.asarray(v) for k, v in det_out.items()}
+    return _joined_rows(ctx, detections)
+
+
+def _joined_rows(ctx: SimpleNamespace, detections):
+    from lidar_object_detection_tpu.eval.erosion_study import join_runs
+
     run_r = ctx.pipe_raw.run(detections=detections)
     run_e = ctx.pipe_ero.run(detections=detections)
     return join_runs(run_r.csv_rows, run_e.csv_rows)
+
+
+def prepare_flip(ctx: SimpleNamespace, log=print) -> None:
+    """Run the mirrored-view forward once and stash it on the study
+    context (flip-TTA configs need both views)."""
+    import time
+
+    t0 = time.time()
+    ctx.flip_out = ctx.run_forward(ctx.images[:, :, ::-1, :])
+    log(f"[quality] mirrored forward: {time.time() - t0:.1f}s", flush=True)
+
+
+def tta_detections(ctx: SimpleNamespace, conf: float, mask_threshold: float,
+                   floor: float | None = None, min_pixels: int = 0,
+                   mode: str = "averaged", match_iou: float = 0.5):
+    """Flip-TTA detections dict (see examples/quality_flip_probe.py).
+
+    ``mode="averaged"`` is the library serving path
+    (models/yolo/tta.postprocess_tta_pair — decode both views, mirror the
+    flipped view's mask probability fields back, average per IoU-matched
+    detection before the serving binarization), run per frame via
+    lax.map exactly as ``YoloDetector(tta="hflip")`` serves it.
+    ``mode="flipped"`` returns the mirrored-view detections alone — a
+    probe-only diagnostic, built here from the same library pieces."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        PostprocessParams, mask_prob_fields, pack_thresholded_masks,
+        postprocess_single)
+    from lidar_object_detection_tpu.models.yolo.tta import (
+        flip_boxes, postprocess_tta_pair)
+
+    if getattr(ctx, "flip_out", None) is None:
+        prepare_flip(ctx)
+    spec = ctx.spec
+    src_w = float(spec.src_w)
+
+    pp = PostprocessParams(
+        spec=spec, conf_threshold=conf, mask_threshold=mask_threshold,
+        mask_threshold_floor=floor, mask_min_pixels=min_pixels,
+        max_detections=32)
+
+    if mode == "averaged":
+        merge = jax.jit(lambda on, of: jax.lax.map(
+            lambda pair: postprocess_tta_pair(pair[0], pair[1], pp,
+                                              match_iou), (on, of)))
+        out = merge(jax.device_put(ctx.raw_out),
+                    jax.device_put(ctx.flip_out))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    assert mode == "flipped", mode
+    pp_coef = dataclasses.replace(pp, emit_coef=True)
+
+    def one_frame(out_f):
+        det_f = postprocess_single(out_f, pp_coef)
+        p_f = mask_prob_fields(out_f["proto"], det_f["coef"],
+                               spec)[:, :, ::-1]
+        boxes_f = flip_boxes(det_f["boxes"], src_w)
+        bits = pack_thresholded_masks(
+            p_f, boxes_f, det_f["det_valid"], mask_threshold, floor,
+            min_pixels)
+        return {"boxes": boxes_f, "scores": det_f["scores"],
+                "det_valid": det_f["det_valid"], "mask_bits": bits}
+
+    out = jax.jit(lambda of: jax.lax.map(one_frame, of))(
+        jax.device_put(ctx.flip_out))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def rows_for_tta(ctx: SimpleNamespace, conf: float, mask_threshold: float,
+                 floor: float | None = None, min_pixels: int = 0,
+                 mode: str = "averaged", match_iou: float = 0.5):
+    """Flip-TTA counterpart of :func:`rows_for` -- same protocol, same
+    joined per-car rows, detections built by :func:`tta_detections`."""
+    return _joined_rows(ctx, tta_detections(
+        ctx, conf, mask_threshold, floor, min_pixels, mode, match_iou))

@@ -129,10 +129,17 @@ def main():
                          "_floor decode mode), e.g. 0.99:0.5:200; when "
                          "given, the CV runs over the mixed plain+guarded "
                          "grid with the coverage and argmax rules")
+    ap.add_argument("--tta-grid", nargs="*", default=[],
+                    metavar="THR:FLOOR:MINPIX",
+                    help="additional flip-TTA configs (two-view mask-"
+                         "probability consensus, quality_common.rows_for_"
+                         "tta), e.g. 0.99:0.5:200 -- empty floor for a "
+                         "plain threshold. Mixed-grid rules apply as with "
+                         "--guarded-grid")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
-    from quality_common import prepare_study, rows_for
+    from quality_common import prepare_study, rows_for, rows_for_tta
 
     from lidar_object_detection_tpu.eval.erosion_study import analyze
 
@@ -142,17 +149,34 @@ def main():
     # config keys: plain floats, or (thr, floor, min_pixels) label strings
     # for the mixed grid (keys must be JSON-serializable in fold_picks)
     configs = list(args.mask_thr)
-    guarded_cfgs = {}
-    for spec_str in args.guarded_grid:
+    guarded_cfgs, tta_cfgs = {}, {}
+
+    def parse_cfg(spec_str):
         thr_s, floor_s, pix_s = spec_str.split(":")
-        key = f"{thr_s}+floor{floor_s}@{pix_s}"
-        guarded_cfgs[key] = (float(thr_s), float(floor_s), int(pix_s))
+        floor = float(floor_s) if floor_s else None
+        pix = int(pix_s) if pix_s else 0
+        label = (f"{thr_s}+floor{floor_s}@{pix_s}" if floor is not None
+                 else thr_s)
+        return label, (float(thr_s), floor, pix)
+
+    for spec_str in args.guarded_grid:
+        key, parsed = parse_cfg(spec_str)
+        guarded_cfgs[key] = parsed
+        configs.append(key)
+    for spec_str in args.tta_grid:
+        key, parsed = parse_cfg(spec_str)
+        key = "tta:" + key
+        tta_cfgs[key] = parsed
         configs.append(key)
 
     rows_by_thr, insample = {}, []
     for cfg in configs:
         t0 = time.time()
-        if cfg in guarded_cfgs:
+        if cfg in tta_cfgs:
+            thr, floor, pix = tta_cfgs[cfg]
+            rows = rows_for_tta(ctx, args.conf, thr, floor=floor,
+                                min_pixels=pix)
+        elif cfg in guarded_cfgs:
             thr, floor, pix = guarded_cfgs[cfg]
             rows = rows_for(ctx, args.conf, thr, floor=floor,
                             min_pixels=pix)
@@ -167,7 +191,7 @@ def main():
     frames = sorted({r.frame for rows in rows_by_thr.values() for r in rows})
     # the guarded rule's 0.5 baseline is float-grid-specific; the mixed
     # grid runs the coverage rule in its place
-    rules = (("coverage", "argmax") if guarded_cfgs
+    rules = (("coverage", "argmax") if (guarded_cfgs or tta_cfgs)
              else ("guarded", "argmax"))
     results = [cv_aggregate(rows_by_thr, configs, frames, rule, args.guard)
                for rule in rules]

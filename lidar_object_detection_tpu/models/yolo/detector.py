@@ -48,6 +48,7 @@ class YoloDetector:
                  mask_threshold_mode: str = "absolute",
                  mask_threshold_floor: Optional[float] = None,
                  mask_min_pixels: int = 0,
+                 tta: str = "none", tta_match_iou: float = 0.5,
                  dtype: Any = jnp.float32, seed: int = 0):
         self.cfg = cfg
         self.model = Yolo11(cfg, dtype=dtype)
@@ -75,9 +76,20 @@ class YoloDetector:
                 fold_serving_variables
             variables = fold_serving_variables(variables, dtype=dtype)
         self.variables = variables
+        if tta not in ("none", "hflip"):
+            raise ValueError(f"tta must be 'none' or 'hflip', got {tta!r}")
+        self.tta = tta
         # unjitted fn exposed for composition into larger jitted programs
-        self.detect_fn = functools.partial(
-            _detect_batch, model=self.model, pp=self.params)
+        if tta == "hflip":
+            from lidar_object_detection_tpu.models.yolo.tta import \
+                validate_tta_params
+            validate_tta_params(self.params)
+            self.detect_fn = functools.partial(
+                _detect_batch_tta, model=self.model, pp=self.params,
+                match_iou=tta_match_iou)
+        else:
+            self.detect_fn = functools.partial(
+                _detect_batch, model=self.model, pp=self.params)
         self._detect = jax.jit(self.detect_fn)
 
     def detect(self, images) -> Dict[str, jnp.ndarray]:
@@ -94,3 +106,24 @@ def _detect_batch(variables, images, *, model: Yolo11,
     lb = jax.vmap(lambda im: letterbox_image(im, pp.spec))(imgs)
     outputs = model.apply(variables, lb)
     return jax.vmap(lambda one: postprocess_single(one, pp))(outputs)
+
+
+def _detect_batch_tta(variables, images, *, model: Yolo11,
+                      pp: PostprocessParams, match_iou: float):
+    """hflip-TTA serving step: ONE forward over both views (2B frames --
+    the MXU sees a bigger batch, not a second launch), then the per-frame
+    consensus merge sequentially via lax.map so only one frame's two
+    (D, H0, W0) float fields are live at a time (models/yolo/tta.py)."""
+    from lidar_object_detection_tpu.models.yolo.tta import \
+        postprocess_tta_pair
+
+    b = images.shape[0]
+    imgs = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+    both = jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
+    lb = jax.vmap(lambda im: letterbox_image(im, pp.spec))(both)
+    outputs = model.apply(variables, lb)
+    out_n = jax.tree_util.tree_map(lambda x: x[:b], outputs)
+    out_f = jax.tree_util.tree_map(lambda x: x[b:], outputs)
+    return jax.lax.map(
+        lambda pair: postprocess_tta_pair(pair[0], pair[1], pp, match_iou),
+        (out_n, out_f))

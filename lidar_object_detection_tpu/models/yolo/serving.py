@@ -42,15 +42,17 @@ def resolve_serving(ckpt_path: str, *,
                     mask_threshold: Optional[float] = None,
                     mask_threshold_floor: Optional[float] = None,
                     mask_min_pixels: Optional[int] = None,
+                    tta: Optional[str] = None,
                     default_scale: str = "n") -> Dict[str, Any]:
     """Resolved serving config for a checkpoint.
 
     Returns ``{"scale", "mask_threshold", "conf", "mask_threshold_floor",
-    "mask_min_pixels"}`` where ``conf`` is None when neither the caller
-    nor the sidecar pins one (the detector default applies).  The floor
-    pair is the guarded-shrink decode mode (PostprocessParams.
+    "mask_min_pixels", "tta"}`` where ``conf`` is None when neither the
+    caller nor the sidecar pins one (the detector default applies).  The
+    floor pair is the guarded-shrink decode mode (PostprocessParams.
     mask_threshold_floor): None/0 unless the sidecar's serving block or
-    the caller sets it.
+    the caller sets it.  ``tta`` is the test-time-augmentation mode
+    (``"none"`` or ``"hflip"``, models/yolo/tta.py) — same precedence.
     """
     meta = load_sidecar(ckpt_path)
     serving = meta.get("serving", {})
@@ -64,6 +66,8 @@ def resolve_serving(ckpt_path: str, *,
         mask_threshold_floor = float(serving["mask_threshold_floor"])
     if mask_min_pixels is None:
         mask_min_pixels = int(serving.get("mask_min_pixels", 0))
+    if tta is None:
+        tta = str(serving.get("tta", "none"))
     if (mask_threshold_floor is not None
             and mask_threshold_floor >= float(mask_threshold)):
         # an explicit threshold at/below the sidecar's floor implicitly
@@ -72,7 +76,7 @@ def resolve_serving(ckpt_path: str, *,
         mask_threshold_floor, mask_min_pixels = None, 0
     return {"scale": scale, "mask_threshold": float(mask_threshold),
             "conf": conf, "mask_threshold_floor": mask_threshold_floor,
-            "mask_min_pixels": mask_min_pixels}
+            "mask_min_pixels": mask_min_pixels, "tta": tta}
 
 
 def load_serving_checkpoint(ckpt_path: str,
@@ -83,6 +87,7 @@ def load_serving_checkpoint(ckpt_path: str,
                             mask_threshold: Optional[float] = None,
                             mask_threshold_floor: Optional[float] = None,
                             mask_min_pixels: Optional[int] = None,
+                            tta: Optional[str] = None,
                             max_detections: int = 32,
                             default_scale: str = "n",
                             **detector_kw):
@@ -104,7 +109,7 @@ def load_serving_checkpoint(ckpt_path: str,
                                mask_threshold=mask_threshold,
                                mask_threshold_floor=mask_threshold_floor,
                                mask_min_pixels=mask_min_pixels,
-                               default_scale=default_scale)
+                               tta=tta, default_scale=default_scale)
     with open(ckpt_path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     kw = dict(detector_kw)
@@ -115,5 +120,6 @@ def load_serving_checkpoint(ckpt_path: str,
                        mask_threshold=resolved["mask_threshold"],
                        mask_threshold_floor=resolved["mask_threshold_floor"],
                        mask_min_pixels=resolved["mask_min_pixels"],
+                       tta=resolved["tta"],
                        max_detections=max_detections, **kw)
     return det, int(np.asarray(raw["step"])), resolved

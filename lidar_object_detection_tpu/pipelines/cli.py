@@ -49,6 +49,11 @@ def _add_common(p, detector: bool = True):
         p.add_argument("--mask-min-pixels", type=int, default=None,
                        help="guarded shrink: pixel count under which a "
                             "detection falls back to --mask-floor")
+        p.add_argument("--tta", default=None, choices=["none", "hflip"],
+                       help="test-time augmentation: hflip averages the "
+                            "two views' mask probability fields per "
+                            "IoU-matched detection before binarization "
+                            "(2x detector compute; models/yolo/tta.py)")
 
 
 def _build_detector(args, dataset):
@@ -71,6 +76,7 @@ def _build_detector(args, dataset):
             mask_threshold=getattr(args, "mask_thr", None),
             mask_threshold_floor=getattr(args, "mask_floor", None),
             mask_min_pixels=getattr(args, "mask_min_pixels", None),
+            tta=getattr(args, "tta", None),
             default_scale="x")
     else:
         resolved = {"scale": args.yolo_scale or "x", "conf": args.conf,
@@ -79,10 +85,12 @@ def _build_detector(args, dataset):
                     "mask_threshold_floor": getattr(args, "mask_floor",
                                                     None),
                     "mask_min_pixels": getattr(args, "mask_min_pixels",
-                                               None) or 0}
+                                               None) or 0,
+                    "tta": getattr(args, "tta", None) or "none"}
     kw = {"mask_threshold": resolved["mask_threshold"],
           "mask_threshold_floor": resolved["mask_threshold_floor"],
-          "mask_min_pixels": resolved["mask_min_pixels"]}
+          "mask_min_pixels": resolved["mask_min_pixels"],
+          "tta": resolved["tta"]}
     if resolved["conf"] is not None:
         kw["conf"] = resolved["conf"]
     det = YoloDetector((dataset.camera.height, dataset.camera.width),

@@ -31,7 +31,8 @@ def test_no_sidecar_library_defaults(tmp_path):
     assert load_sidecar(path) == {}
     r = resolve_serving(path)
     assert r == {"scale": "n", "mask_threshold": 0.5, "conf": None,
-                 "mask_threshold_floor": None, "mask_min_pixels": 0}
+                 "mask_threshold_floor": None, "mask_min_pixels": 0,
+                 "tta": "none"}
 
 
 def test_no_sidecar_default_scale_override(tmp_path):
@@ -45,7 +46,8 @@ def test_sidecar_serving_block_wins_over_defaults(tmp_path):
         "serving": {"mask_threshold": 0.9, "conf": 0.3}})
     r = resolve_serving(path)
     assert r == {"scale": "x", "mask_threshold": 0.9, "conf": 0.3,
-                 "mask_threshold_floor": None, "mask_min_pixels": 0}
+                 "mask_threshold_floor": None, "mask_min_pixels": 0,
+                 "tta": "none"}
 
 
 def test_explicit_caller_overrides_win_over_sidecar(tmp_path):
@@ -54,7 +56,8 @@ def test_explicit_caller_overrides_win_over_sidecar(tmp_path):
         "serving": {"mask_threshold": 0.9, "conf": 0.3}})
     r = resolve_serving(path, scale="n", conf=0.5, mask_threshold=0.75)
     assert r == {"scale": "n", "mask_threshold": 0.75, "conf": 0.5,
-                 "mask_threshold_floor": None, "mask_min_pixels": 0}
+                 "mask_threshold_floor": None, "mask_min_pixels": 0,
+                 "tta": "none"}
 
 
 def test_sidecar_without_serving_block(tmp_path):
@@ -63,7 +66,8 @@ def test_sidecar_without_serving_block(tmp_path):
     path = _write_ckpt(tmp_path, {"scale": "s", "step": 123})
     r = resolve_serving(path)
     assert r == {"scale": "s", "mask_threshold": 0.5, "conf": None,
-                 "mask_threshold_floor": None, "mask_min_pixels": 0}
+                 "mask_threshold_floor": None, "mask_min_pixels": 0,
+                 "tta": "none"}
 
 
 def test_partial_serving_block(tmp_path):
@@ -118,6 +122,20 @@ def test_guarded_shrink_serving_block(tmp_path):
     r = resolve_serving(path, mask_threshold_floor=0.7, mask_min_pixels=50)
     assert r["mask_threshold_floor"] == 0.7
     assert r["mask_min_pixels"] == 50
+
+
+def test_tta_resolution(tmp_path):
+    # sidecar-recorded TTA mode resolves; an explicit caller value
+    # (including an explicit "none" to switch it OFF) wins
+    path = _write_ckpt(tmp_path, {
+        "scale": "x",
+        "serving": {"mask_threshold": 0.99, "mask_threshold_floor": 0.5,
+                    "mask_min_pixels": 200, "tta": "hflip"}})
+    assert resolve_serving(path)["tta"] == "hflip"
+    assert resolve_serving(path, tta="none")["tta"] == "none"
+    # no sidecar / no serving block -> "none"
+    bare = _write_ckpt(tmp_path, name="bare.msgpack")
+    assert resolve_serving(bare)["tta"] == "none"
 
 
 def test_explicit_threshold_below_sidecar_floor_disables_floor(tmp_path):

@@ -455,3 +455,140 @@ def test_postprocess_emit_coef():
     assert out["coef"].shape == (8, nm)
     np.testing.assert_array_equal(np.asarray(out["coef"])[0],
                                   np.arange(nm, dtype=np.float32))
+
+
+def _hot_anchor_outputs(col=40, ltrb=(4, 3, 5, 2), protos=None):
+    """Raw seg outputs with one hot car anchor on level 0 at (12, col)."""
+    lvl = [(24, 80), (12, 40), (6, 20)]
+    nc, nm = 80, 32
+    outputs = {
+        "box": [np.zeros((h, w, 4 * REG_MAX), np.float32) for h, w in lvl],
+        "cls": [np.full((h, w, nc), -10.0, np.float32) for h, w in lvl],
+        "coef": [np.zeros((h, w, nm), np.float32) for h, w in lvl],
+        "proto": protos if protos is not None
+        else np.full((48, 160, nm), 1.0, np.float32),
+    }
+    big = 30.0
+    dist_bins = np.full((4, REG_MAX), -big, np.float32)
+    for side, cells in enumerate(ltrb):
+        dist_bins[side, cells] = big
+    outputs["box"][0][12, col] = dist_bins.ravel()
+    outputs["cls"][0][12, col, 2] = 5.0
+    outputs["coef"][0][12, col] = 1.0
+    return {k: ([jnp.asarray(a) for a in v] if isinstance(v, list)
+                else jnp.asarray(v)) for k, v in outputs.items()}
+
+
+def test_tta_no_match_reproduces_single_view():
+    """With an unreachable match_iou every detection keeps its single-view
+    field, so the TTA merge must reproduce postprocess_single bit-for-bit
+    (boxes/scores/valid are single-view by construction)."""
+    from lidar_object_detection_tpu.models.yolo.tta import \
+        postprocess_tta_pair
+
+    spec = LetterboxSpec.build(376, 1408, 640)
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(48, 160, 32)).astype(np.float32)
+    out_n = _hot_anchor_outputs(col=40, protos=protos)
+    out_f = _hot_anchor_outputs(col=60, protos=protos)
+
+    pp = PostprocessParams(spec=spec, conf_threshold=0.25, max_detections=8,
+                           mask_threshold=0.9)
+    single = postprocess_single(out_n, pp)
+    merged = jax.jit(lambda a, b: postprocess_tta_pair(a, b, pp,
+                                                       match_iou=2.0))(
+        out_n, out_f)
+    # jit-fused vs eager float paths differ by ulps on boxes/scores;
+    # validity and the packed bits must match exactly
+    np.testing.assert_allclose(np.asarray(merged["boxes"]),
+                               np.asarray(single["boxes"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(merged["scores"]),
+                               np.asarray(single["scores"]), rtol=1e-5)
+    for k in ("det_valid", "mask_bits"):
+        np.testing.assert_array_equal(np.asarray(merged[k]),
+                                      np.asarray(single[k]), err_msg=k)
+
+
+def test_tta_consistent_mirror_is_identity():
+    """A flipped view that IS the exact mirror of the normal view (mirrored
+    protos, mirrored hot anchor with swapped left/right distances) matches
+    at IoU 1.0 and averages two identical fields -- the consensus bits must
+    equal the single-view bits, pinning the whole mirror-back geometry
+    (boxes, proto crop, field flip) at once."""
+    from lidar_object_detection_tpu.models.yolo.tta import (
+        flip_boxes, postprocess_tta_pair)
+
+    spec = LetterboxSpec.build(376, 1408, 640)
+    # KITTI-360's 640-letterbox proto crop spans the full width (left 0,
+    # right 160), so mirroring the proto grid mirrors the cropped content
+    # exactly -- the premise of this construction
+    rng = np.random.default_rng(3)
+    protos = rng.normal(size=(48, 160, 32)).astype(np.float32)
+    # level-0 anchor col 40 (center x 324 in the 640 letterbox) mirrors to
+    # col 39 (center 316); ltrb (4, 3, 5, 2) mirrors to (5, 3, 4, 2)
+    out_n = _hot_anchor_outputs(col=40, ltrb=(4, 3, 5, 2), protos=protos)
+    out_f = _hot_anchor_outputs(col=39, ltrb=(5, 3, 4, 2),
+                                protos=protos[:, ::-1, :].copy())
+
+    pp = PostprocessParams(spec=spec, conf_threshold=0.25, max_detections=8,
+                           mask_threshold=0.9)
+    single = postprocess_single(out_n, pp)
+    merged = jax.jit(lambda a, b: postprocess_tta_pair(a, b, pp,
+                                                       match_iou=0.99))(
+        out_n, out_f)
+    # the flipped view's box maps back onto the normal one exactly
+    f_det = postprocess_single(out_f, pp)
+    np.testing.assert_allclose(
+        np.asarray(flip_boxes(f_det["boxes"], spec.src_w))[0],
+        np.asarray(single["boxes"])[0], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(merged["boxes"]),
+                               np.asarray(single["boxes"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(merged["scores"]),
+                               np.asarray(single["scores"]), rtol=1e-5)
+    for k in ("det_valid", "mask_bits"):
+        np.testing.assert_array_equal(np.asarray(merged[k]),
+                                      np.asarray(single[k]), err_msg=k)
+
+
+def test_tta_param_validation():
+    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+    from lidar_object_detection_tpu.models.yolo.tta import \
+        postprocess_tta_pair
+
+    spec = LetterboxSpec.build(376, 1408, 640)
+    out = _hot_anchor_outputs()
+    with pytest.raises(ValueError, match="prob"):
+        postprocess_tta_pair(out, out, PostprocessParams(
+            spec=spec, mask_upsample="logit"))
+    with pytest.raises(ValueError, match="absolute"):
+        postprocess_tta_pair(out, out, PostprocessParams(
+            spec=spec, mask_threshold_mode="relative"))
+    with pytest.raises(ValueError, match="tta"):
+        YoloDetector((96, 160), YoloConfig(scale="n"), tta="bogus")
+    with pytest.raises(ValueError, match="prob"):
+        YoloDetector((96, 160), YoloConfig(scale="n"), tta="hflip",
+                     mask_upsample="logit")
+
+
+def test_detector_tta_smoke(rng):
+    """YoloDetector(tta='hflip'): boxes/scores/validity are EXACTLY the
+    single-view detector's (consensus only moves mask boundaries); the
+    packed bits stay consistent with the validity mask."""
+    from lidar_object_detection_tpu.models.yolo.detector import YoloDetector
+
+    det = YoloDetector((96, 160), YoloConfig(scale="n"), conf=0.0,
+                       max_detections=8, max_candidates=32)
+    det_tta = YoloDetector((96, 160), YoloConfig(scale="n"), conf=0.0,
+                           max_detections=8, max_candidates=32,
+                           variables=det.variables, tta="hflip")
+    images = (rng.random((2, 96, 160, 3)) * 255).astype(np.uint8)
+    base = det.detect(images)
+    out = det_tta.detect(images)
+    for k in ("boxes", "scores", "det_valid"):
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(base[k]), err_msg=k)
+    assert out["mask_bits"].shape == (2, 96, 160)
+    bits = np.asarray(out["mask_bits"])
+    valid = np.asarray(out["det_valid"])
+    for b in range(2):
+        assert not (bits[b] >> np.uint32(int(valid[b].sum()))).any()
