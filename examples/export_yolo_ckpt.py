@@ -38,7 +38,14 @@ def main():
     ap.add_argument("--serving-mask-min-pixels", type=int, default=None,
                     help="record the guarded-shrink pixel guard in the "
                          "serving block")
+    ap.add_argument("--serving-tta", default=None,
+                    choices=["none", "hflip"],
+                    help="record a test-time-augmentation mode in the "
+                         "serving block (models/yolo/tta.py)")
     args = ap.parse_args()
+    if args.serving_tta is not None and args.serving_mask_thr is None:
+        ap.error("--serving-tta needs --serving-mask-thr (a serving block "
+                 "is only written when a primary cut is recorded)")
     if args.serving_mask_floor is not None and args.serving_mask_thr is None:
         ap.error("--serving-mask-floor needs --serving-mask-thr (the "
                  "floor is the fallback below a recorded primary cut)")
@@ -92,6 +99,8 @@ def main():
                 args.serving_mask_floor
             meta["serving"]["mask_min_pixels"] = \
                 args.serving_mask_min_pixels
+        if args.serving_tta is not None:
+            meta["serving"]["tta"] = args.serving_tta
     elif "serving" not in meta:
         print("WARNING: no serving block in the source sidecar and no "
               "--serving-mask-thr given; the export will serve at "

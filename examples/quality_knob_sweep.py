@@ -61,11 +61,17 @@ def main():
                     help="additional guarded-shrink configs (mask_threshold"
                          "_floor decode mode), e.g. 0.99:0.5:200 -- swept "
                          "as extra rows alongside the plain grid")
+    ap.add_argument("--tta-grid", nargs="*", default=[],
+                    metavar="THR:FLOOR:MINPIX",
+                    help="additional hflip-TTA configs (two-view mask "
+                         "consensus, models/yolo/tta.py), e.g. 0.99:0.5:200"
+                         " -- empty floor for a plain threshold; rows carry"
+                         ' "tta": "hflip"')
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu/tpu)")
     args = ap.parse_args()
 
-    from quality_common import prepare_study, rows_for
+    from quality_common import prepare_study, rows_for, rows_for_tta
 
     from lidar_object_detection_tpu.eval.erosion_study import analyze
 
@@ -85,18 +91,21 @@ def main():
         results.append(row)
         print(f"[sweep] {json.dumps(row)}", flush=True)
 
-    for spec_str in args.guarded_grid:
-        thr_s, floor_s, pix_s = spec_str.split(":")
-        t0 = time.time()
-        res = analyze(rows_for(ctx, args.conf[0], float(thr_s),
-                               floor=float(floor_s),
-                               min_pixels=int(pix_s)))
-        row = {"conf": args.conf[0], "mask_threshold": float(thr_s),
-               "mask_threshold_floor": float(floor_s),
-               "mask_min_pixels": int(pix_s),
-               **res.summary(), "sweep_s": round(time.time() - t0, 1)}
-        results.append(row)
-        print(f"[sweep] {json.dumps(row)}", flush=True)
+    for tta, grid in (("none", args.guarded_grid), ("hflip", args.tta_grid)):
+        for spec_str in grid:
+            thr_s, floor_s, pix_s = spec_str.split(":")
+            floor = float(floor_s) if floor_s else None
+            pix = int(pix_s) if pix_s else 0
+            t0 = time.time()
+            fn = rows_for_tta if tta == "hflip" else rows_for
+            res = analyze(fn(ctx, args.conf[0], float(thr_s),
+                             floor=floor, min_pixels=pix))
+            row = {"conf": args.conf[0], "mask_threshold": float(thr_s),
+                   "mask_threshold_floor": floor,
+                   "mask_min_pixels": pix, "tta": tta,
+                   **res.summary(), "sweep_s": round(time.time() - t0, 1)}
+            results.append(row)
+            print(f"[sweep] {json.dumps(row)}", flush=True)
 
     results.sort(key=lambda r: -r["mean_inside_pct_eroded"])
     payload = {"ckpt": args.ckpt, "scale": ctx.scale,

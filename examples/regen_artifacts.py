@@ -39,16 +39,18 @@ KITTI = os.environ.get("LIDAR_TPU_KITTI360", "/root/reference/KITTI360_sample")
 def build_detector(ckpt: str, conf: float = 0.25,
                    mask_threshold: float | None = None,
                    mask_threshold_floor: float | None = None,
-                   mask_min_pixels: int | None = None):
+                   mask_min_pixels: int | None = None,
+                   tta: str | None = None):
     """``mask_threshold=None`` uses the checkpoint sidecar's recorded
-    serving point (quality_knob_sweep), falling back to ultralytics' 0.5."""
+    serving point (quality_knob_sweep), falling back to ultralytics' 0.5;
+    same for ``tta`` (models/yolo/tta.py flip consensus)."""
     from lidar_object_detection_tpu.models.yolo.serving import \
         load_serving_checkpoint
 
     det, step, _ = load_serving_checkpoint(
         ckpt, conf=conf, mask_threshold=mask_threshold,
         mask_threshold_floor=mask_threshold_floor,
-        mask_min_pixels=mask_min_pixels)
+        mask_min_pixels=mask_min_pixels, tta=tta)
     return det, step
 
 
@@ -67,6 +69,9 @@ def main():
                          "(default: sidecar serving block)")
     ap.add_argument("--mask-min-pixels", type=int, default=None,
                     help="guarded-shrink pixel guard override")
+    ap.add_argument("--tta", default=None, choices=["none", "hflip"],
+                    help="test-time augmentation override (default: the "
+                         "sidecar serving block; models/yolo/tta.py)")
     ap.add_argument("--depth-map-frames", type=int, nargs="*", default=[100])
     ap.add_argument("--overlay-frames", type=int, nargs="*",
                     default=[100, 2033])
@@ -84,8 +89,10 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     detector, step = build_detector(args.ckpt, args.conf, args.mask_thr,
-                                    args.mask_floor, args.mask_min_pixels)
-    print(f"[regen] detector from {args.ckpt} (step {step})", flush=True)
+                                    args.mask_floor, args.mask_min_pixels,
+                                    args.tta)
+    print(f"[regen] detector from {args.ckpt} (step {step}, "
+          f"tta {detector.tta})", flush=True)
 
     # --- 1. erosion study: both fusion runs behind ONE detection pass ---
     from lidar_object_detection_tpu.eval.erosion_study import \
@@ -177,6 +184,7 @@ def main():
         "mask_threshold": detector.params.mask_threshold,
         "mask_threshold_floor": detector.params.mask_threshold_floor,
         "mask_min_pixels": detector.params.mask_min_pixels,
+        "tta": detector.tta,
         "erosion_study": summary,
         "csv_eval": run_e.summary(),
         "no_erosion": run_r.summary(),

@@ -47,39 +47,43 @@ if [ "${1:-}" = retrain ]; then
       --ckpt /tmp/yolo_x_segw3.msgpack --conf 0.25 \
       --mask-thr 0.5 0.7 0.8 0.9 0.95 0.99 \
       --guarded-grid 0.9:0.5:200 0.95:0.5:200 0.99:0.5:200 \
+      --tta-grid 0.95:0.5:200 0.99:0.5:200 \
       --out /tmp/knob_sweep_retrain.json \
       2>&1 | tee "$LOG/4a_sweep.log"
   # coverage rule (quality_threshold_cv.py): only configs keeping the
   # MOST matched cars compete on mean inside-%, so "best" can't be won
   # by dropping hard cars; a missing sweep or failed parse falls back to
-  # the committed serving point (0.99 + floor 0.5 @ 200 px)
-  read -r BEST_THR BEST_FLOOR BEST_PIX <<<"$(python - <<'PY'
+  # the committed serving point (hflip TTA @ 0.99 + floor 0.5 @ 200 px)
+  read -r BEST_THR BEST_FLOOR BEST_PIX BEST_TTA <<<"$(python - <<'PY'
 import json
 try:
     rows = json.load(open("/tmp/knob_sweep_retrain.json"))["results"]
     top = max(r["matched_cars"] for r in rows)
     best = max((r for r in rows if r["matched_cars"] == top),
                key=lambda r: r["mean_inside_pct_eroded"])
+    floor = best.get("mask_threshold_floor")
     print(best["mask_threshold"],
-          best.get("mask_threshold_floor", ""),
-          best.get("mask_min_pixels", ""))
+          "" if floor is None else floor,
+          best.get("mask_min_pixels", ""),
+          best.get("tta", "none"))
 except Exception:
-    print("0.99 0.5 200")
+    print("0.99 0.5 200 hflip")
 PY
 )"
   FLOOR_ARGS=""
   [ -n "$BEST_FLOOR" ] && \
       FLOOR_ARGS="--mask-floor $BEST_FLOOR --mask-min-pixels $BEST_PIX"
-  echo "=== stage 4b: regen artifacts (mask-thr $BEST_THR $FLOOR_ARGS) ==="
+  echo "=== stage 4b: regen artifacts (mask-thr $BEST_THR $FLOOR_ARGS tta $BEST_TTA) ==="
   timeout 3600 python examples/regen_artifacts.py \
       --ckpt /tmp/yolo_x_segw3.msgpack --out /tmp/artifacts_x_segw3 \
-      --mask-thr "$BEST_THR" $FLOOR_ARGS 2>&1 | tee "$LOG/4b_regen.log"
+      --mask-thr "$BEST_THR" --tta "$BEST_TTA" $FLOOR_ARGS \
+      2>&1 | tee "$LOG/4b_regen.log"
   python - <<'PY' | tee "$LOG/4b_verdict.log"
 import json
 s = json.load(open("/tmp/artifacts_x_segw3/summary.json"))
 got = s["erosion_study"]["mean_inside_pct_eroded"]
 ref = 74.48
-best_prev = 76.96   # committed ckpt @ 0.99 + floor 0.5 @ 200 px (round 5)
+best_prev = 77.44   # committed ckpt, hflip TTA @ 0.99+floor0.5@200 (round 5)
 print(f"mean inside-% eroded: {got} (ref {ref}, repo best {best_prev})")
 print("VERDICT:", "NEW-BEST" if got > best_prev
       else "BEATS-REFERENCE" if got >= ref else "NO-GAIN")

@@ -345,7 +345,6 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
                 f"(got {min_pixels}): with no pixel guard the floor can "
                 f"never fire and only doubles the assembly cost")
     mh, mw, nm = protos.shape
-    d = coef.shape[0]
     logits = jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
                         protos.astype(jnp.float32))
     if upsample == "logit":
@@ -363,6 +362,40 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
 
     top, bottom, left, right = _proto_crop_bounds(mh, mw, spec)
     masks = masks[:, top:bottom, left:right]
+    return _finish_masks(masks, boxes, det_valid, spec, fast=fast,
+                         impl=impl, threshold=threshold,
+                         threshold_mode=threshold_mode, floor=floor,
+                         min_pixels=min_pixels)
+
+
+def cropped_prob_table(protos, coef, spec: LetterboxSpec):
+    """(D, mh_c, mw_c) float32 sigmoid mask table at proto resolution,
+    letterbox padding stripped — the pre-upsample half of the prob-space
+    assembly.  Bilinear upsampling is LINEAR, so consensus modes (e.g.
+    the hflip-TTA field average, models/yolo/tta.py) can average THESE
+    tiny tables and feed one table to :func:`_finish_masks` instead of
+    averaging two (D, H0, W0) float stacks — which also lets the fused
+    stack-free Pallas kernel (ops/pallas_masks.py) serve the consensus
+    unchanged."""
+    mh, mw, _ = protos.shape
+    probs = jax.nn.sigmoid(
+        jnp.einsum("dn,hwn->dhw", coef.astype(jnp.float32),
+                   protos.astype(jnp.float32)))
+    top, bottom, left, right = _proto_crop_bounds(mh, mw, spec)
+    return probs[:, top:bottom, left:right]
+
+
+def _finish_masks(masks, boxes, det_valid, spec: LetterboxSpec,
+                  fast: bool = False, impl: str = "xla",
+                  threshold: float = 0.5,
+                  threshold_mode: str = "absolute",
+                  floor: float | None = None, min_pixels: int = 0):
+    """Upsample + threshold + box-crop + bit-pack a cropped proto-res mask
+    table (the tail of ``_assemble_masks``; ``threshold``/``floor`` are
+    already in the table's space).  Dispatches to the fused Pallas kernel
+    when requested/available, else the XLA resize path."""
+    d = masks.shape[0]
+    cropped_h, cropped_w = masks.shape[1], masks.shape[2]
 
     use_pallas = False
     # the fused kernel bakes the (already space-transformed) threshold as
@@ -370,7 +403,6 @@ def _assemble_masks(protos, coef, boxes, det_valid, spec: LetterboxSpec,
     # operating point
     if impl != "xla":
         from lidar_object_detection_tpu.ops import pallas_masks
-        cropped_h, cropped_w = bottom - top, right - left
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu"
             and pallas_masks.supported(d, spec.src_h, spec.src_w,

@@ -22,11 +22,14 @@ as an opt-in serving mode (``YoloDetector(tta="hflip")``, sidecar
 
 TPU shape notes: both views ride ONE batched forward (2B frames — the
 MXU sees a bigger batch, not two launches) and the per-frame merge runs
-under ``jax.lax.map`` so only one frame's two (D, H0, W0) float fields
-are live at a time (~134 MB at D=32 on KITTI-360 — the float stack the
-fused Pallas assembly kernel exists to avoid; a TTA-aware kernel pass
-would fold the averaged field into the stack-free path and is future
-chip-gated work, see ops/pallas_masks.py).
+under ``jax.lax.map``.  Bilinear upsampling is LINEAR, so the consensus
+average happens at PROTO resolution (two ~1 MB cropped sigmoid tables,
+``postprocess.cropped_prob_table``) and ONE table flows into the shared
+assembly tail (``postprocess._finish_masks``) — the mirrored table's
+width reversal commutes exactly with the symmetric-resize + source-
+resolution mirror, so this equals averaging the upsampled (D, H0, W0)
+fields while materializing neither, and the fused stack-free Pallas
+kernel (ops/pallas_masks.py) serves the consensus mode unchanged.
 """
 
 from __future__ import annotations
@@ -39,8 +42,8 @@ import jax.numpy as jnp
 
 from lidar_object_detection_tpu.models.yolo.postprocess import (
     PostprocessParams,
-    mask_prob_fields,
-    pack_thresholded_masks,
+    _finish_masks,
+    cropped_prob_table,
     postprocess_single,
 )
 
@@ -86,7 +89,7 @@ def postprocess_tta_pair(out_n, out_f, params: PostprocessParams,
 
     Returns the :func:`postprocess_single` serving schema: ``boxes`` /
     ``scores`` / ``det_valid`` (the normal view's, unchanged) and
-    ``mask_bits`` packed from the consensus fields.  Under jit the two
+    ``mask_bits`` packed from the consensus table.  Under jit the two
     single-view mask assemblies are dead code (only ``coef`` is read) and
     XLA eliminates them.
     """
@@ -99,9 +102,13 @@ def postprocess_tta_pair(out_n, out_f, params: PostprocessParams,
                          "consensus is over mask probability fields")
     spec = params.spec
 
-    fields_n = mask_prob_fields(out_n["proto"], det_n["coef"], spec)
-    fields_f = mask_prob_fields(out_f["proto"], det_f["coef"],
-                                spec)[:, :, ::-1]
+    # proto-resolution consensus: mirroring the cropped table's width
+    # axis == mirroring the upsampled field (symmetric bilinear taps),
+    # and the average commutes with the linear upsample -- so neither
+    # view's (D, H0, W0) float stack is ever materialized here
+    table_n = cropped_prob_table(out_n["proto"], det_n["coef"], spec)
+    table_f = cropped_prob_table(out_f["proto"], det_f["coef"],
+                                 spec)[:, :, ::-1]
     boxes_f = flip_boxes(det_f["boxes"], float(spec.src_w))
 
     from lidar_object_detection_tpu.geom.boxes import iou_2d_matrix
@@ -109,11 +116,14 @@ def postprocess_tta_pair(out_n, out_f, params: PostprocessParams,
     iou = jnp.where(det_f["det_valid"][None, :], iou, 0.0)
     best = jnp.argmax(iou, axis=1)                             # (D,)
     matched = (jnp.max(iou, axis=1) >= match_iou) & det_n["det_valid"]
-    fields = jnp.where(matched[:, None, None],
-                       0.5 * (fields_n + fields_f[best]), fields_n)
+    table = jnp.where(matched[:, None, None],
+                      0.5 * (table_n + table_f[best]), table_n)
 
-    bits = pack_thresholded_masks(
-        fields, det_n["boxes"], det_n["det_valid"], params.mask_threshold,
-        params.mask_threshold_floor, params.mask_min_pixels)
+    bits = _finish_masks(
+        table, det_n["boxes"], det_n["det_valid"], spec,
+        fast=params.fast_masks, impl=params.mask_assembly,
+        threshold=params.mask_threshold,
+        floor=params.mask_threshold_floor,
+        min_pixels=params.mask_min_pixels)
     return {"boxes": det_n["boxes"], "scores": det_n["scores"],
             "det_valid": det_n["det_valid"], "mask_bits": bits}

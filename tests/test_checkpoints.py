@@ -102,12 +102,16 @@ def test_serving_sidecar_resolution():
         assert meta["serving"]["mask_threshold"] == 0.99
         assert meta["serving"]["mask_threshold_floor"] == 0.5
         assert meta["serving"]["mask_min_pixels"] == 200
+        assert meta["serving"]["tta"] == "hflip"
 
     det, step = regen_artifacts.build_detector(
         "checkpoints/yolo11n_seg_distill.msgpack")
     assert det.params.mask_threshold == 0.99     # sidecar value
     assert det.params.mask_threshold_floor == 0.5
     assert det.params.mask_min_pixels == 200
+    assert det.tta == "hflip"
     det2, _ = regen_artifacts.build_detector(
-        "checkpoints/yolo11n_seg_distill.msgpack", mask_threshold=0.5)
+        "checkpoints/yolo11n_seg_distill.msgpack", mask_threshold=0.5,
+        tta="none")
     assert det2.params.mask_threshold == 0.5     # explicit wins
+    assert det2.tta == "none"

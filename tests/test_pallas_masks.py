@@ -198,3 +198,32 @@ def test_threshold_vector_assembly(rng):
             threshold=float(thr[d]), interpret=True))
         np.testing.assert_array_equal((got >> d) & 1, (ref >> d) & 1,
                                       err_msg=f"det {d}")
+
+
+def test_kernel_serves_tta_consensus_table(rng):
+    """The hflip-TTA serving merge averages two cropped proto-res tables
+    and hands ONE table to the shared assembly tail
+    (postprocess._finish_masks) -- the kernel must reproduce the XLA tail
+    bit-for-bit on such an averaged table at the committed guarded
+    serving point (models/yolo/tta.py rides this)."""
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        _finish_masks, cropped_prob_table)
+
+    spec, protos, coef, boxes, det_valid = _random_case(rng)
+    protos_b = rng.normal(0, 1.0, protos.shape).astype(np.float32)
+    t_a = cropped_prob_table(jnp.asarray(protos), jnp.asarray(coef), spec)
+    t_b = cropped_prob_table(jnp.asarray(protos_b), jnp.asarray(coef),
+                             spec)[:, :, ::-1]
+    mixed = rng.random(coef.shape[0]) > 0.5        # some dets matched
+    table = jnp.where(jnp.asarray(mixed)[:, None, None],
+                      0.5 * (t_a + t_b), t_a)
+
+    kw = dict(threshold=0.99, floor=0.5, min_pixels=200)
+    ref = np.asarray(_finish_masks(table, jnp.asarray(boxes),
+                                   jnp.asarray(det_valid), spec,
+                                   impl="xla", **kw))
+    got = np.asarray(_finish_masks(table, jnp.asarray(boxes),
+                                   jnp.asarray(det_valid), spec,
+                                   impl="pallas", **kw))
+    np.testing.assert_array_equal(got, ref)
+    assert ref.any()

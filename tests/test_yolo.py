@@ -592,3 +592,52 @@ def test_detector_tta_smoke(rng):
     valid = np.asarray(out["det_valid"])
     for b in range(2):
         assert not (bits[b] >> np.uint32(int(valid[b].sum()))).any()
+
+
+def test_tta_proto_res_consensus_matches_field_space():
+    """The serving merge averages the CROPPED PROTO-RES tables and
+    upsamples once (postprocess_tta_pair); averaging the two UPSAMPLED
+    (D, H0, W0) fields (mask_prob_fields + pack_thresholded_masks, the
+    probe's original formulation) must give the same bits up to resize
+    ulps -- bilinear upsampling is linear and its taps are mirror-
+    symmetric, which is the identity the stack-free path rides on."""
+    from lidar_object_detection_tpu.geom.boxes import iou_2d_matrix
+    from lidar_object_detection_tpu.models.yolo.postprocess import (
+        mask_prob_fields, pack_thresholded_masks)
+    from lidar_object_detection_tpu.models.yolo.tta import (
+        flip_boxes, postprocess_tta_pair)
+
+    spec = LetterboxSpec.build(376, 1408, 640)
+    rng = np.random.default_rng(11)
+    out_n = _hot_anchor_outputs(
+        col=40, ltrb=(4, 3, 5, 2),
+        protos=rng.normal(size=(48, 160, 32)).astype(np.float32))
+    out_f = _hot_anchor_outputs(
+        col=39, ltrb=(5, 3, 4, 2),
+        protos=rng.normal(size=(48, 160, 32)).astype(np.float32))
+
+    pp = PostprocessParams(spec=spec, conf_threshold=0.25, max_detections=8,
+                           mask_threshold=0.9, mask_threshold_floor=0.5,
+                           mask_min_pixels=200, emit_coef=True)
+    merged = jax.jit(lambda a, b: postprocess_tta_pair(a, b, pp, 0.25))(
+        out_n, out_f)
+
+    # field-space reference: average AFTER the upsample
+    det_n = postprocess_single(out_n, pp)
+    det_f = postprocess_single(out_f, pp)
+    f_n = mask_prob_fields(out_n["proto"], det_n["coef"], spec)
+    f_f = mask_prob_fields(out_f["proto"], det_f["coef"], spec)[:, :, ::-1]
+    boxes_f = flip_boxes(det_f["boxes"], spec.src_w)
+    iou = jnp.where(det_f["det_valid"][None, :],
+                    iou_2d_matrix(det_n["boxes"], boxes_f), 0.0)
+    best = jnp.argmax(iou, axis=1)
+    matched = (jnp.max(iou, axis=1) >= 0.25) & det_n["det_valid"]
+    fields = jnp.where(matched[:, None, None], 0.5 * (f_n + f_f[best]), f_n)
+    ref_bits = np.asarray(pack_thresholded_masks(
+        fields, det_n["boxes"], det_n["det_valid"], 0.9, 0.5, 200))
+
+    # the consensus must actually fire for the pin to mean anything
+    assert bool(np.asarray(matched)[0])
+    got = np.asarray(merged["mask_bits"])
+    diff = int((got != ref_bits).sum())
+    assert diff / got.size < 1e-5, f"{diff}/{got.size} packed words differ"
